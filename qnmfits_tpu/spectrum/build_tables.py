@@ -1,0 +1,109 @@
+"""Offline builder for the Kerr QNM spectrum tables.
+
+Runs the from-scratch Leaver/spectral solver (solver.py) for every mode and
+bakes the results into a single .npz artifact consumed by the TPU runtime
+(tables.py).  This replaces the reference's runtime dependency on the
+external `qnm` package's cached tables and the Cook & Zalutskiy HDF5
+downloads (/root/reference/qnmfits/qnm.py:11-33, 124-160) with a
+self-contained build step.
+
+Artifact layout (qnm_tables_s{s}.npz):
+    chi          : (P,) float64, shared spin grid
+    keys         : (M, 3) int32, rows (l, m, n) -- all m in [-l, l]
+    omega        : (M, P) complex128, M=1 units (Re > 0 convention;
+                   mirror modes are lookup-time transforms)
+    A            : (M, P) complex128, angular separation constants
+    mu           : (M, P, K) complex128, spherical-spheroidal mixing
+                   C_{l'} for l' = max(|s|,|m|) .. max(|s|,|m|)+K-1
+    s, n_mu      : scalars
+
+Usage:  python -m qnmfits_tpu.spectrum.build_tables [--lmax 5 --nmax 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .angular import lmin
+from .solver import default_chi_grid, schwarzschild_seeds, track_mode
+
+DATA_DIR = Path(__file__).parent.parent / "data"
+
+
+def build(l_max: int = 5, n_max: int = 7, s: int = -2,
+          n_chi: int = 400, n_mu: int = 12,
+          out: Path | None = None, verbose: bool = True) -> Path:
+    chi = default_chi_grid(n_chi)
+    seeds = schwarzschild_seeds(l_max=l_max, n_max=n_max, s=s)
+
+    keys = []
+    omegas = []
+    As = []
+    mus = []
+
+    t_start = time.time()
+    # Solve m >= 0; derive m < 0 from the symmetry
+    # omega(l,-m,n) = -conj(omega), C_{l'}(-m) = (-1)^{l+l'} conj(C_{l'}).
+    for l in range(2, l_max + 1):
+        for m in range(0, l + 1):
+            for n in range(0, n_max + 1):
+                t0 = time.time()
+                w, A, C = track_mode(l, m, n, seeds[(l, n)], chi, s=s)
+                K = min(n_mu, C.shape[1])
+                mu = np.zeros((len(chi), n_mu), complex)
+                mu[:, :K] = C[:, :K]
+
+                keys.append((l, m, n))
+                omegas.append(w)
+                As.append(A)
+                mus.append(mu)
+
+                if m > 0:
+                    lp = np.arange(n_mu) + lmin(s, m)
+                    flip = (-1.0) ** (l + lp)
+                    keys.append((l, -m, n))
+                    omegas.append(-np.conj(w))
+                    As.append(np.conj(A))
+                    mus.append(flip[None, :] * np.conj(mu))
+
+                if verbose:
+                    print(f"  ({l},{m},{n}) done in {time.time()-t0:.1f}s "
+                          f"[total {time.time()-t_start:.0f}s]", flush=True)
+
+    DATA_DIR.mkdir(parents=True, exist_ok=True)
+    if out is None:
+        out = DATA_DIR / f"qnm_tables_s{s}.npz"
+    np.savez_compressed(
+        out,
+        chi=chi,
+        keys=np.array(keys, dtype=np.int32),
+        omega=np.array(omegas),
+        A=np.array(As),
+        mu=np.array(mus),
+        s=np.int32(s),
+        n_mu=np.int32(n_mu),
+    )
+    if verbose:
+        print(f"wrote {out} ({out.stat().st_size/1e6:.1f} MB, "
+              f"{len(keys)} modes)")
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--lmax", type=int, default=5)
+    p.add_argument("--nmax", type=int, default=7)
+    p.add_argument("--nchi", type=int, default=400)
+    p.add_argument("--nmu", type=int, default=12)
+    p.add_argument("--s", type=int, default=-2)
+    args = p.parse_args()
+    build(l_max=args.lmax, n_max=args.nmax, s=args.s,
+          n_chi=args.nchi, n_mu=args.nmu)
+
+
+if __name__ == "__main__":
+    main()
