@@ -1,0 +1,62 @@
+"""qnmfits_tpu: TPU-native quasinormal-mode ringdown fitting.
+
+A from-scratch JAX/XLA re-design of the capabilities of eliotfinch/qnmfits
+(reference mounted at /root/reference):
+
+* L1 spectrum layer: a built-in Leaver/spectral Kerr QNM solver bakes
+  frequencies and spherical-spheroidal mixing coefficients into
+  differentiable spin-interpolation tables (qnmfits_tpu.spectrum) --
+  no external `qnm` package, no downloads.
+* L3 fitting engine: design-matrix least squares as jitted Gram/Cholesky
+  and SVD solves; sweeps over start times, (Mf, chif) grids and
+  complex-frequency grids are single vmapped TPU programs
+  (qnmfits_tpu.engine / qnmfits_tpu.batched).
+* NumPy parity path (qnmfits_tpu.ref_impl) reproducing the reference's
+  exact numerics for validation.
+
+Public API mirrors the reference package: `qnm` (spectrum instance),
+fitting/sweep functions, waveform classes.
+"""
+
+import jax as _jax
+
+# Reference numerics are float64 end-to-end; x64 mode is required for the
+# parity path (runs on CPU -- TPUs have no complex128).  The TPU fast
+# path requests complex64 explicitly.
+_jax.config.update("jax_enable_x64", True)
+
+from .fitting import (  # noqa: E402
+    calculate_epsilon,
+    dynamic_multimode_ringdown_fit,
+    dynamic_ringdown_fit,
+    free_frequency_fit,
+    mismatch,
+    mismatch_M_chi_grid,
+    mismatch_omega_grid,
+    mismatch_t0_array,
+    multimode_mismatch,
+    multimode_ringdown_fit,
+    rational_filter,
+    ringdown,
+    ringdown_fit,
+)
+from .qnm_api import download_cook_data  # noqa: E402
+
+__version__ = "0.1.0"
+
+_lazy_singletons = {}
+
+
+def __getattr__(name):
+    # `qnm` mirrors the reference's module-level spectrum instance
+    # (/root/reference/qnmfits/__init__.py:5-6) but is created lazily so
+    # importing the package does not require the table artifact.
+    if name == "qnm":
+        if "qnm" not in _lazy_singletons:
+            from .qnm_api import qnm as _qnm_class
+            _lazy_singletons["qnm"] = _qnm_class()
+        return _lazy_singletons["qnm"]
+    if name in ("Custom", "SXS", "NRSur7dq4", "NRHybSur3dq8"):
+        from . import waveforms
+        return getattr(waveforms, name)
+    raise AttributeError(f"module 'qnmfits_tpu' has no attribute {name!r}")

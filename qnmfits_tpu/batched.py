@@ -1,0 +1,176 @@
+"""Batched ringdown sweeps: the TPU throughput surface.
+
+The reference's sweep hot loops (mismatch vs t0, (Mf, chif) grids,
+free-frequency grids -- /root/reference/qnmfits/qnmfits.py:1183-1301,
+1304-1415, 1679-1827) rebuild a design matrix and call LAPACK once per
+configuration.  Here each sweep is ONE jitted program: the configuration
+axis is a vmapped batch dimension over the Gram-assembly fit core
+(qnmfits_tpu.engine.fit_core), chunked with lax.map to bound the
+(chunk, K, J) working set in HBM.
+
+Mode sets of different sizes batch together by padding to a common J with
+identity rows in the Gram matrix (padded amplitudes are exactly zero).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .engine import SpectrumEvaluator, _device_for, fit_core
+from .ops.windows import window_closest, window_geq
+from .ref_impl import _delta_factor
+
+__all__ = [
+    "batch_mismatch_t0", "batch_mismatch_M_chi", "batch_mismatch_omega",
+    "sweep_t0_core",
+]
+
+_CHUNK = 64
+
+
+def _canon(modes):
+    return tuple(tuple(int(x) for x in m) for m in modes)
+
+
+def sweep_t0_core(times, data, omega, mu, t0s, Ts, t0_method: str,
+                  cdtype, col_mask=None, chunk: int = _CHUNK):
+    """Mismatch + amplitudes for a batch of (t0, T) windows.
+
+    times (K,), data (I, K), omega (J,), mu (I, J), t0s/Ts (B,).
+    Returns (C (B, J), mm (B,)).
+    """
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def one(args):
+        t0, T = args
+        w = window(times, t0, T)
+        return fit_core(times, data, omega, mu, t0, w, cdtype,
+                        col_mask=col_mask)
+
+    return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+
+@lru_cache(maxsize=128)
+def _t0_sweep_fn(modes, sph, t0_method, precision):
+    ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+
+    def run(times, data, Mf, chif, t0s, Ts, delta_factor):
+        omega = ev.omega(chif, Mf, delta_factor)
+        mu = jnp.ones((1, omega.shape[0])) if sph is None else ev.mu(chif)
+        return sweep_t0_core(times, data, omega, mu, t0s, Ts, t0_method,
+                             cdtype)
+
+    return jax.jit(run, device=_device_for(precision))
+
+
+@lru_cache(maxsize=128)
+def _mchi_sweep_fn(modes, sph, t0_method, precision):
+    ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def run(times, data, Mfs, chifs, t0, T, delta_factor):
+        w = window(times, t0, T)
+
+        def one(args):
+            Mf, chif = args
+            omega = ev.omega(chif, Mf, delta_factor)
+            mu = jnp.ones((1, omega.shape[0])) if sph is None \
+                else ev.mu(chif)
+            return fit_core(times, data, omega, mu, t0, w, cdtype)
+
+        return jax.lax.map(one, (Mfs, chifs), batch_size=_CHUNK)
+
+    return jax.jit(run, device=_device_for(precision))
+
+
+@lru_cache(maxsize=128)
+def _omega_sweep_fn(modes, t0_method, precision):
+    ev = SpectrumEvaluator(list(modes)) if modes else None
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def run(times, data, Mf, chif, omega_free, t0, T):
+        w = window(times, t0, T)
+        fixed = ev.omega(chif, Mf) if ev is not None \
+            else jnp.zeros((0,), cdtype)
+
+        def one(wf):
+            omega = jnp.concatenate([fixed, wf[None]])
+            mu = jnp.ones((1, omega.shape[0]))
+            return fit_core(times, data, omega, mu, t0, w, cdtype)
+
+        return jax.lax.map(one, omega_free, batch_size=_CHUNK)
+
+    return jax.jit(run, device=_device_for(precision))
+
+
+def _prep(times, data, spherical_modes):
+    """Stack dict data to (I, K) rows; single series -> (1, K)."""
+    if isinstance(data, dict):
+        if spherical_modes is None:
+            spherical_modes = list(data.keys())
+        rows = np.stack([np.asarray(data[lm]) for lm in spherical_modes])
+        sph = tuple(tuple(lm) for lm in spherical_modes)
+    else:
+        rows = np.asarray(data)[None, :]
+        sph = None
+    return np.asarray(times, float), rows, sph
+
+
+def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
+                      t0_method="geq", T_array=100, spherical_modes=None,
+                      delta=0.0, precision="x64", return_amplitudes=False):
+    """All start times in one vmapped solve
+    (replaces reference qnmfits.py:1183-1301 loop)."""
+    times, rows, sph = _prep(times, data, spherical_modes)
+    t0s = np.asarray(t0_array, float)
+    Ts = np.broadcast_to(np.asarray(T_array, float), t0s.shape)
+    if np.ndim(Mf) != 0 or np.ndim(chif) != 0:
+        raise NotImplementedError(
+            "dynamic-spectrum t0 sweeps: use engine='loop' for now")
+    fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
+    df = np.asarray(_delta_factor(delta, len(modes)))
+    C, mm = fn(times, rows, float(Mf), float(chif),
+               t0s, np.ascontiguousarray(Ts), df)
+    mm = np.asarray(mm)
+    return (mm, np.asarray(C)) if return_amplitudes else mm
+
+
+def batch_mismatch_M_chi(times, data, modes, Mf_minmax, chif_minmax, t0,
+                         t0_method="geq", T=100, res=50,
+                         spherical_modes=None, delta=0.0, precision="x64"):
+    """(Mf, chif) grid in one vmapped solve; row-major over Mf rows,
+    chif columns like the reference (qnmfits.py:1413)."""
+    times, rows, sph = _prep(times, data, spherical_modes)
+    Mf_array = np.linspace(*Mf_minmax, res)
+    chif_array = np.linspace(*chif_minmax, res)
+    MM, CC = np.meshgrid(Mf_array, chif_array, indexing="ij")
+    fn = _mchi_sweep_fn(_canon(modes), sph, t0_method, precision)
+    df = np.asarray(_delta_factor(delta, len(modes)))
+    _, mm = fn(times, rows, MM.ravel(), CC.ravel(), float(t0), float(T), df)
+    return np.asarray(mm).reshape(res, res)
+
+
+def batch_mismatch_omega(times, data, modes, Mf, chif, re_minmax, im_minmax,
+                         t0, t0_method="geq", T=100, res=50,
+                         precision="x64"):
+    """Complex-frequency grid in one vmapped solve; transposed layout like
+    the reference (qnmfits.py:1825)."""
+    times, rows, sph = _prep(times, data, None)
+    re = np.linspace(*re_minmax, res)
+    im = np.linspace(*im_minmax, res)
+    RE, IM = np.meshgrid(re, im, indexing="ij")
+    wf = (RE + 1j * IM).ravel()
+    fn = _omega_sweep_fn(_canon(modes), t0_method, precision)
+    args = (times, rows, float(Mf) if Mf is not None else 1.0,
+            float(chif) if chif is not None else 0.0, wf,
+            float(t0), float(T))
+    _, mm = fn(*args)
+    return np.asarray(mm).reshape(res, res).T

@@ -1,0 +1,306 @@
+"""Public fitting API: reference-compatible signatures on the JAX engine.
+
+Mirrors the reference engine's functions and result dictionaries
+(/root/reference/qnmfits/qnmfits.py) -- ringdown, mismatch,
+ringdown_fit, dynamic/multimode variants, sweeps, optimisers, rational
+filter -- with the compute expressed in JAX.
+
+Eager single fits default to precision='x64' (CPU backend; TPU has no
+complex128) and use an SVD least-squares solve so the result dict carries
+'residual'/'rank'/'s' exactly like np.linalg.lstsq.  Sweep functions
+accept engine='batched' to run the vmapped TPU path (qnmfits_tpu.batched)
+and engine='loop' for the reference-style serial loop.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import ref_impl
+from .engine import SpectrumEvaluator, _device_for, _window
+from .ref_impl import (  # noqa: F401  (re-exported reference primitives)
+    get_qnm,
+    mask_times,
+    mismatch,
+    multimode_mismatch,
+    rational_filter,
+    ringdown,
+)
+
+__all__ = [
+    "ringdown", "mismatch", "multimode_mismatch",
+    "ringdown_fit", "dynamic_ringdown_fit",
+    "multimode_ringdown_fit", "dynamic_multimode_ringdown_fit",
+    "mismatch_t0_array", "mismatch_M_chi_grid", "mismatch_omega_grid",
+    "calculate_epsilon", "free_frequency_fit", "rational_filter",
+]
+
+
+def _canon_modes(modes):
+    return tuple(tuple(int(x) for x in m) for m in modes)
+
+
+def _delta_factor(delta, n_modes):
+    return ref_impl._delta_factor(delta, n_modes)
+
+
+# ---------------------------------------------------------------------------
+# Jitted eager fit kernels (SVD path, full result set)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=256)
+def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
+    """Build + jit an SVD-lstsq fit for a static configuration.
+
+    Returns the materialised design matrix solve with residual/rank/
+    singular values, matching np.linalg.lstsq output (reference
+    qnmfits.py:287).
+    """
+    ev = SpectrumEvaluator(list(modes),
+                           list(spherical_modes) if spherical_modes else None)
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+
+    def run(times, data, Mf, chif, t0, T, delta_factor):
+        rdtype = jnp.zeros((), cdtype).real.dtype
+        times = times.astype(rdtype)
+        data = data.astype(cdtype)          # (I, K)
+        w = _window(times, t0, T, t0_method)
+
+        if dynamic:
+            omega = ev.omega(chif, Mf).T           # (K, J)
+            if spherical_modes is None:
+                mu = jnp.ones((1,) + omega.shape, cdtype)
+            else:
+                mu = jnp.moveaxis(ev.mu(chif), -1, 1)  # (I, K, J)
+            phi = jnp.exp(-1j * omega * (times[:, None] - t0))
+            blocks = (mu * phi[None]).astype(cdtype)   # (I, K, J)
+        else:
+            omega = ev.omega(chif, Mf, delta_factor)   # (J,)
+            if spherical_modes is None:
+                mu = jnp.ones((1, omega.shape[0]), cdtype)
+            else:
+                mu = ev.mu(chif).astype(cdtype)        # (I, J)
+            phi = jnp.exp(-1j * omega[None, :]
+                          * (times[:, None] - t0).astype(cdtype))
+            blocks = mu[:, None, :] * phi[None]        # (I, K, J)
+
+        I, K, J = blocks.shape
+        a = (blocks * w[None, :, None]).reshape(I * K, J)
+        d = (data * w[None, :]).reshape(I * K)
+        C, res, rank, sv = jnp.linalg.lstsq(a, d, rcond=None)
+
+        model = (blocks.reshape(I * K, J) @ C).reshape(I, K)
+        return C, res, rank, sv, model, omega, mu, w
+
+    return ev, jax.jit(run, device=_device_for(precision))
+
+
+def _masked_to_np(arr, w):
+    sel = np.asarray(w).astype(bool)
+    return np.asarray(arr)[..., sel]
+
+
+def _run_fit(times, data_rows, modes, Mf, chif, t0, t0_method, T,
+             spherical_modes, delta, precision, dynamic):
+    """Shared eager-fit driver; returns the reference-style dict pieces."""
+    modes = _canon_modes(modes)
+    sph = tuple(tuple(lm) for lm in spherical_modes) \
+        if spherical_modes is not None else None
+    ev, fn = _svd_fit_fn(modes, sph, t0_method, precision, dynamic)
+
+    delta_factor = np.asarray(_delta_factor(delta, len(modes)))
+    dev = _device_for(precision)
+    args = [jnp.asarray(np.asarray(x)) for x in
+            (times, data_rows, Mf, chif, t0, T, delta_factor)]
+    args = [jax.device_put(a, dev) for a in args]
+    C, res, rank, sv, model, omega, mu, w = fn(*args)
+
+    tm = _masked_to_np(np.asarray(times, float), w)
+    model_np = _masked_to_np(model, w)
+    data_np = _masked_to_np(data_rows, w)
+
+    # Residual semantics of np.linalg.lstsq: empty unless over-determined
+    # full rank; jnp.linalg.lstsq returns the scalar; keep the array form.
+    return dict(C=np.asarray(C), residual=np.asarray(res),
+                rank=int(rank), s=np.asarray(sv),
+                model=model_np, data=data_np, model_times=tm,
+                omega=np.asarray(omega), mu=np.asarray(mu),
+                w=np.asarray(w))
+
+
+# ---------------------------------------------------------------------------
+# Public fits (reference qnmfits.py:142-911)
+# ---------------------------------------------------------------------------
+
+def ringdown_fit(times, data, modes, Mf, chif, t0, t0_method="geq", T=100,
+                 delta=0.0, precision="x64"):
+    """Least-squares ringdown fit to a single complex series
+    (reference qnmfits.py:142-315)."""
+    r = _run_fit(times, np.asarray(data)[None, :], modes, Mf, chif, t0,
+                 t0_method, T, None, delta, precision, dynamic=False)
+    tm, model, dm = r["model_times"], r["model"][0], r["data"][0]
+    return {
+        "residual": r["residual"], "rank": r["rank"], "s": r["s"],
+        "mismatch": mismatch(tm, model, dm),
+        "C": r["C"], "data": dm, "model": model, "model_times": tm,
+        "t0": t0, "modes": modes,
+        "mode_labels": [str(tuple(m)) for m in modes],
+        "frequencies": r["omega"],
+    }
+
+
+def dynamic_ringdown_fit(times, data, modes, Mf, chif, t0, t0_method="geq",
+                         T=100, precision="x64"):
+    """Single-series fit with time-dependent (Mf(t), chif(t))
+    (reference qnmfits.py:318-475)."""
+    times = np.asarray(times)
+    Mf_t = np.full(len(times), Mf) if np.ndim(Mf) == 0 else np.asarray(Mf)
+    chif_t = np.full(len(times), chif) if np.ndim(chif) == 0 \
+        else np.asarray(chif)
+    r = _run_fit(times, np.asarray(data)[None, :], modes, Mf_t, chif_t, t0,
+                 t0_method, T, None, 0.0, precision, dynamic=True)
+    tm, model, dm = r["model_times"], r["model"][0], r["data"][0]
+    sel = r["w"].astype(bool)
+    return {
+        "residual": r["residual"],
+        "mismatch": mismatch(tm, model, dm),
+        "C": r["C"], "data": dm, "model": model, "model_times": tm,
+        "t0": t0, "modes": modes,
+        "mode_labels": [str(tuple(m)) for m in modes],
+        "frequencies": r["omega"][sel].T,
+    }
+
+
+def multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
+                           t0_method="geq", T=100, spherical_modes=None,
+                           precision="x64"):
+    """Joint fit across spherical-harmonic modes with mixing-weighted
+    shared amplitudes (reference qnmfits.py:478-673)."""
+    if spherical_modes is None:
+        spherical_modes = list(data_dict.keys())
+    rows = np.stack([np.asarray(data_dict[lm]) for lm in spherical_modes])
+    r = _run_fit(times, rows, modes, Mf, chif, t0, t0_method, T,
+                 spherical_modes, 0.0, precision, dynamic=False)
+    tm = r["model_times"]
+    model_dict = {lm: r["model"][i] for i, lm in enumerate(spherical_modes)}
+    data_mask = {lm: r["data"][i] for i, lm in enumerate(spherical_modes)}
+    weighted_C = {lm: r["mu"][i] * r["C"]
+                  for i, lm in enumerate(spherical_modes)}
+    return {
+        "residual": r["residual"],
+        "mismatch": multimode_mismatch(tm, model_dict, data_mask),
+        "C": r["C"], "weighted_C": weighted_C,
+        "data": data_mask, "model": model_dict, "model_times": tm,
+        "t0": t0, "modes": modes,
+        "mode_labels": [str(tuple(m)) for m in modes],
+        "frequencies": r["omega"],
+    }
+
+
+def dynamic_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
+                                   t0_method="geq", T=100,
+                                   spherical_modes=None, precision="x64"):
+    """Multimode fit with time-dependent spectrum
+    (reference qnmfits.py:676-911)."""
+    if spherical_modes is None:
+        spherical_modes = list(data_dict.keys())
+    times = np.asarray(times)
+    Mf_t = np.full(len(times), Mf) if np.ndim(Mf) == 0 else np.asarray(Mf)
+    chif_t = np.full(len(times), chif) if np.ndim(chif) == 0 \
+        else np.asarray(chif)
+    rows = np.stack([np.asarray(data_dict[lm]) for lm in spherical_modes])
+    r = _run_fit(times, rows, modes, Mf_t, chif_t, t0, t0_method, T,
+                 spherical_modes, 0.0, precision, dynamic=True)
+    tm = r["model_times"]
+    sel = r["w"].astype(bool)
+    model_dict = {lm: r["model"][i] for i, lm in enumerate(spherical_modes)}
+    data_mask = {lm: r["data"][i] for i, lm in enumerate(spherical_modes)}
+    mu_masked = r["mu"][:, sel, :]             # (I, Km, J)
+    weighted_C = {lm: mu_masked[i] * r["C"][None, :]
+                  for i, lm in enumerate(spherical_modes)}
+    freqs = r["omega"][sel]                    # (Km, J)
+    return {
+        "residual": r["residual"],
+        "mismatch": multimode_mismatch(tm, model_dict, data_mask),
+        "C": r["C"], "weighted_C": weighted_C,
+        "data": data_mask, "model": model_dict, "model_times": tm,
+        "t0": t0, "modes": modes,
+        "mode_labels": [str(tuple(m)) for m in modes],
+        "frequencies": np.vstack(len(spherical_modes) * [freqs]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sweeps (batched TPU engine by default; reference-style loop optional)
+# ---------------------------------------------------------------------------
+
+def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
+                      t0_method="geq", T_array=100, spherical_modes=None,
+                      delta=0.0, engine="batched", precision="x64"):
+    """Mismatch vs ringdown start time (reference qnmfits.py:1183-1301).
+
+    engine='batched' runs all start times as one vmapped solve.
+    """
+    if engine == "loop":
+        return ref_impl.mismatch_t0_array(
+            times, data, modes, Mf, chif, t0_array, t0_method, T_array,
+            spherical_modes, delta)
+    from .batched import batch_mismatch_t0
+    return batch_mismatch_t0(
+        times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
+        T_array=T_array, spherical_modes=spherical_modes, delta=delta,
+        precision=precision)
+
+
+def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,
+                        t0_method="geq", T=100, res=50,
+                        spherical_modes=None, delta=0.0, engine="batched",
+                        precision="x64"):
+    """Mismatch over an (Mf, chif) grid (reference qnmfits.py:1304-1415)."""
+    if engine == "loop":
+        return ref_impl.mismatch_M_chi_grid(
+            times, data, modes, Mf_minmax, chif_minmax, t0, t0_method, T,
+            res, spherical_modes, delta)
+    from .batched import batch_mismatch_M_chi
+    return batch_mismatch_M_chi(
+        times, data, modes, Mf_minmax, chif_minmax, t0, t0_method=t0_method,
+        T=T, res=res, spherical_modes=spherical_modes, delta=delta,
+        precision=precision)
+
+
+def mismatch_omega_grid(times, data, modes, Mf, chif, re_minmax, im_minmax,
+                        t0, t0_method="geq", T=100, res=50,
+                        engine="batched", precision="x64"):
+    """Mismatch over a complex-frequency grid for one free mode
+    (reference qnmfits.py:1679-1827)."""
+    if engine == "loop":
+        return ref_impl.mismatch_omega_grid(
+            times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
+            t0_method, T, res)
+    from .batched import batch_mismatch_omega
+    return batch_mismatch_omega(
+        times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
+        t0_method=t0_method, T=T, res=res, precision=precision)
+
+
+def calculate_epsilon(times, data, modes, Mf, chif, t0, t0_method="geq",
+                      T=100, spherical_modes=None, min_method="Nelder-Mead",
+                      delta=0.0, x0=None):
+    """Best-fit remnant (Mf, chif) and epsilon distance
+    (reference qnmfits.py:1418-1594)."""
+    return ref_impl.calculate_epsilon(
+        times, data, modes, Mf, chif, t0, t0_method, T, spherical_modes,
+        min_method, delta, x0)
+
+
+def free_frequency_fit(times, data, t0, modes=[], Mf=None, chif=None,
+                       t0_method="geq", T=100, min_method="Nelder-Mead"):
+    """Free complex-frequency fit on top of fixed QNMs
+    (reference qnmfits.py:1905-2043)."""
+    return ref_impl.free_frequency_fit(
+        times, data, t0, modes, Mf, chif, t0_method, T, min_method)

@@ -1,0 +1,63 @@
+"""Complex least-squares solvers for ringdown design matrices.
+
+Three paths, trading accuracy for speed:
+
+* ``gram_cholesky`` -- normal equations with column equilibration and a
+  tiny Tikhonov floor.  The Gram matrices are assembled by the *caller*
+  as (K,J)^H (K,J) matmuls (MXU work); the J x J solve here is cheap.
+  Fast path for batched sweeps; conditioning is kappa(A)^2, mitigated by
+  equilibration.
+* ``qr_solve`` -- Householder QR of the tall design matrix
+  (kappa(A), not squared).  Used when the matrix is materialised anyway.
+* ``svd_lstsq`` -- jnp.linalg.lstsq (SVD, rcond=None semantics), the exact
+  analogue of the reference's np.linalg.lstsq call
+  (/root/reference/qnmfits/qnmfits.py:287); parity path.
+
+All paths are batched over leading axes and dtype-polymorphic
+(complex64/complex128).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["gram_cholesky", "qr_solve", "svd_lstsq"]
+
+
+def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
+    """Solve G C = rhs for Hermitian positive (semi)definite G.
+
+    G: (..., J, J); rhs: (..., J).  Column equilibration: D G D with
+    D = diag(1/sqrt(diag G)) keeps the Cholesky well scaled across the
+    wildly different column norms of overtone ladders.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1)),
+                             jnp.finfo(rhs.real.dtype).tiny))
+    Dinv = 1.0 / d
+    Gs = G * Dinv[..., :, None] * Dinv[..., None, :]
+    if jitter_scale:
+        J = G.shape[-1]
+        Gs = Gs + jitter_scale * jnp.eye(J, dtype=G.dtype)
+    L = jnp.linalg.cholesky(Gs)
+    y = jnp.vectorize(
+        lambda Lm, b: jnp.linalg.solve(Lm, b),
+        signature="(j,j),(j)->(j)")(L, rhs * Dinv)
+    z = jnp.vectorize(
+        lambda Lm, b: jnp.linalg.solve(Lm.conj().swapaxes(-1, -2), b),
+        signature="(j,j),(j)->(j)")(L, y)
+    return z * Dinv
+
+
+def qr_solve(a, d):
+    """Least squares via reduced QR: a (..., K, J), d (..., K)."""
+    Q, R = jnp.linalg.qr(a, mode="reduced")
+    rhs = jnp.einsum("...kj,...k->...j", Q.conj(), d)
+    return jnp.vectorize(
+        lambda Rm, b: jnp.linalg.solve(Rm, b),
+        signature="(j,j),(j)->(j)")(R, rhs)
+
+
+def svd_lstsq(a, d):
+    """Minimum-norm least squares via SVD (np.linalg.lstsq rcond=None
+    analogue).  a (K, J), d (K,) -- unbatched (parity/debug path)."""
+    return jnp.linalg.lstsq(a, d, rcond=None)[0]

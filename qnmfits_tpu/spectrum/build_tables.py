@@ -46,13 +46,22 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
     mus = []
 
     t_start = time.time()
+    cache_dir = DATA_DIR / "track_cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+
     # Solve m >= 0; derive m < 0 from the symmetry
     # omega(l,-m,n) = -conj(omega), C_{l'}(-m) = (-1)^{l+l'} conj(C_{l'}).
     for l in range(2, l_max + 1):
         for m in range(0, l + 1):
             for n in range(0, n_max + 1):
                 t0 = time.time()
-                w, A, C = track_mode(l, m, n, seeds[(l, n)], chi, s=s)
+                cache = cache_dir / f"s{s}_l{l}_m{m}_n{n}_P{n_chi}.npz"
+                if cache.exists():
+                    zc = np.load(cache)
+                    w, A, C = zc["w"], zc["A"], zc["C"]
+                else:
+                    w, A, C = track_mode(l, m, n, seeds[(l, n)], chi, s=s)
+                    np.savez(cache, w=w, A=A, C=C)
                 K = min(n_mu, C.shape[1])
                 mu = np.zeros((len(chi), n_mu), complex)
                 mu[:, :K] = C[:, :K]

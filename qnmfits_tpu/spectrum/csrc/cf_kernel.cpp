@@ -17,7 +17,11 @@
 #include <complex>
 #include <cmath>
 
-using cplx = std::complex<double>;
+// CF recursions suffer catastrophic cancellation for deep overtones near
+// extremal spin; evaluate in 80-bit long double to keep the noise floor
+// ~3 digits below double.
+using real_t = long double;
+using cplx = std::complex<real_t>;
 
 namespace {
 
@@ -25,62 +29,63 @@ struct Coeffs {
   cplx c0, c1, c2, c3, c4;
 };
 
-inline Coeffs leaver_coeffs(int s, int m, double a, cplx omega, cplx A) {
-  const double b = std::sqrt(1.0 - 4.0 * a * a);
-  const cplx I(0.0, 1.0);
-  const cplx phi = omega / 2.0 - a * static_cast<double>(m);
+inline Coeffs leaver_coeffs(int s, int m, real_t a, cplx omega, cplx A) {
+  const real_t b = std::sqrt((real_t)1.0 - (real_t)4.0 * a * a);
+  const cplx I((real_t)0.0, (real_t)1.0);
+  const cplx phi = omega / (real_t)2.0 - a * (real_t)m;
   Coeffs c;
-  c.c0 = 1.0 - s - I * omega - (2.0 * I / b) * phi;
-  c.c1 = -4.0 + 2.0 * I * omega * (2.0 + b) + (4.0 * I / b) * phi;
-  c.c2 = static_cast<double>(s) + 3.0 - 3.0 * I * omega - (2.0 * I / b) * phi;
-  c.c3 = omega * omega * (4.0 + 2.0 * b - a * a) -
-         2.0 * a * static_cast<double>(m) * omega - static_cast<double>(s) -
-         1.0 + (2.0 + b) * I * omega - A + ((4.0 * omega + 2.0 * I) / b) * phi;
-  c.c4 = static_cast<double>(s) + 1.0 - 2.0 * omega * omega -
-         (2.0 * s + 3.0) * I * omega - ((4.0 * omega + 2.0 * I) / b) * phi;
+  c.c0 = (real_t)(1.0 - s) - I * omega - ((real_t)2.0 * I / b) * phi;
+  c.c1 = (real_t)-4.0 + (real_t)2.0 * I * omega * ((real_t)2.0 + b) + ((real_t)4.0 * I / b) * phi;
+  c.c2 = (real_t)(s + 3.0) - (real_t)3.0 * I * omega - ((real_t)2.0 * I / b) * phi;
+  c.c3 = omega * omega * ((real_t)4.0 + (real_t)2.0 * b - a * a) -
+         (real_t)2.0 * a * (real_t)m * omega - (real_t)(s + 1.0) +
+         ((real_t)2.0 + b) * I * omega - A +
+         (((real_t)4.0 * omega + (real_t)2.0 * I) / b) * phi;
+  c.c4 = (real_t)(s + 1.0) - (real_t)2.0 * omega * omega -
+         (real_t)(2.0 * s + 3.0) * I * omega -
+         (((real_t)4.0 * omega + (real_t)2.0 * I) / b) * phi;
   return c;
 }
 
-inline void abg(double n, const Coeffs& c, cplx& alpha, cplx& beta,
+inline void abg(real_t n, const Coeffs& c, cplx& alpha, cplx& beta,
                 cplx& gamma) {
-  alpha = n * n + (c.c0 + 1.0) * n + c.c0;
-  beta = -2.0 * n * n + (c.c1 + 2.0) * n + c.c3;
-  gamma = n * n + (c.c2 - 3.0) * n + c.c4 - c.c2 + 2.0;
+  alpha = n * n + (c.c0 + (real_t)1.0) * n + c.c0;
+  beta = (real_t)-2.0 * n * n + (c.c1 + (real_t)2.0) * n + c.c3;
+  gamma = n * n + (c.c2 - (real_t)3.0) * n + c.c4 - c.c2 + (real_t)2.0;
 }
 
-inline cplx cf_one(int s, int m, double a, cplx omega, cplx A, int n_inv,
+inline cplx cf_one(int s, int m, real_t a, cplx omega, cplx A, int n_inv,
                    int N) {
   const Coeffs c = leaver_coeffs(s, m, a, omega, A);
-  const double b = std::sqrt(1.0 - 4.0 * a * a);
-  const cplx I(0.0, 1.0);
+  const real_t b = std::sqrt((real_t)1.0 - (real_t)4.0 * a * a);
+  const cplx I((real_t)0.0, (real_t)1.0);
 
   // Upward (finite) part.
-  cplx U(0.0, 0.0), alpha_prev(0.0, 0.0);
+  cplx U((real_t)0.0, (real_t)0.0), alpha_prev((real_t)0.0, (real_t)0.0);
   for (int k = 0; k <= n_inv; ++k) {
     cplx al, be, ga;
-    abg(static_cast<double>(k), c, al, be, ga);
+    abg((real_t)k, c, al, be, ga);
     U = (k == 0) ? be : be - alpha_prev * ga / U;
     alpha_prev = al;
   }
 
   // Nollert-style tail init.
-  cplx u = -std::sqrt(-2.0 * I * b * omega);
-  if (u.real() > 0.0) u = -u;
-  const cplx A1 = c.c0 + 1.0;
-  const cplx G1 = c.c2 - 3.0;
-  const cplx v = (u * u + 0.5 + G1 - A1) / 2.0;
+  cplx u = -std::sqrt((real_t)-2.0 * I * b * omega);
+  if (u.real() > (real_t)0.0) u = -u;
+  const cplx A1 = c.c0 + (real_t)1.0;
+  const cplx G1 = c.c2 - (real_t)3.0;
+  const cplx v = (u * u + (real_t)0.5 + G1 - A1) / (real_t)2.0;
 
   cplx alN, beN, gaN;
-  abg(static_cast<double>(N), c, alN, beN, gaN);
-  cplx T = -alN * (1.0 + u / std::sqrt(static_cast<double>(N)) +
-                   v / static_cast<double>(N));
+  abg((real_t)N, c, alN, beN, gaN);
+  cplx T = -alN * ((real_t)1.0 + u / std::sqrt((real_t)N) + v / (real_t)N);
 
   // Backward recursion: T_k = alpha_k gamma_{k+1} / (beta_{k+1} - T_{k+1}).
   cplx al_k1, be_k1, ga_k1;
-  abg(static_cast<double>(N), c, al_k1, be_k1, ga_k1);
+  abg((real_t)N, c, al_k1, be_k1, ga_k1);
   for (int k = N - 1; k >= n_inv; --k) {
     cplx al_k, be_k, ga_k;
-    abg(static_cast<double>(k), c, al_k, be_k, ga_k);
+    abg((real_t)k, c, al_k, be_k, ga_k);
     // need gamma_{k+1}, beta_{k+1} (from previous iteration's k-level).
     T = al_k * ga_k1 / (be_k1 - T);
     be_k1 = be_k;
@@ -99,11 +104,11 @@ void radial_cf_batch(int B, const double* omega_re, const double* omega_im,
                      int s, int m, const int* n_inv, int N, double* out_re,
                      double* out_im) {
   for (int i = 0; i < B; ++i) {
-    const cplx w(omega_re[i], omega_im[i]);
-    const cplx A(A_re[i], A_im[i]);
-    const cplx r = cf_one(s, m, a[i], w, A, n_inv[i], N);
-    out_re[i] = r.real();
-    out_im[i] = r.imag();
+    const cplx w((real_t)omega_re[i], (real_t)omega_im[i]);
+    const cplx A((real_t)A_re[i], (real_t)A_im[i]);
+    const cplx r = cf_one(s, m, (real_t)a[i], w, A, n_inv[i], N);
+    out_re[i] = (double)r.real();
+    out_im[i] = (double)r.imag();
   }
 }
 

@@ -180,11 +180,30 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
     w_coarse = np.empty(len(coarse_idx), complex)
     A_coarse = np.empty(len(coarse_idx), complex)
 
+    def _solve_point(chi, w_guess, A_guess, chi_from, depth=0):
+        """Newton at one spin, with recursive chi-substepping from the
+        last good point on failure (robust near extremal spin)."""
+        aL = chi / 2.0
+        b = np.sqrt(max(1.0 - chi * chi, 1e-12))
+        N_c = max(N_coarse, int(400.0 / b))
+        w, A, ok = _newton_coupled(np.array([2.0 * w_guess]), aL,
+                                   np.array([A_guess]), s, l, m, n,
+                                   nl, N_c, tol * 10)
+        if ok[0]:
+            return w[0] / 2.0, A[0]
+        if depth >= 6:
+            raise RuntimeError(
+                f"coarse track failed: mode ({l},{m},{n}) chi={chi:.4f}")
+        chi_mid = 0.5 * (chi_from + chi)
+        w_mid, A_mid = _solve_point(chi_mid, w_guess, A_guess, chi_from,
+                                    depth + 1)
+        return _solve_point(chi, w_mid, A_mid, chi_mid, depth + 1)
+
     w_prev = omega0          # M=1 units
     A_prev = complex(l * (l + 1) - s * (s + 1))
+    chi_prev = 0.0
     for j, gi in enumerate(coarse_idx):
         chi = chi_grid[gi]
-        aL = chi / 2.0
         # Predictor: linear extrapolation from previous two coarse points.
         if j >= 2:
             dchi = (chi_grid[coarse_idx[j]] - chi_grid[coarse_idx[j - 1]])
@@ -194,16 +213,10 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
             A_guess = A_coarse[j - 1]
         else:
             w_guess, A_guess = w_prev, A_prev
-        b = np.sqrt(max(1.0 - chi * chi, 1e-12))
-        N_c = max(N_coarse, int(300.0 / b))
-        w, A, ok = _newton_coupled(np.array([2.0 * w_guess]), aL,
-                                   np.array([A_guess]), s, l, m, n,
-                                   nl, N_c, tol * 10)
-        if not ok[0]:
-            raise RuntimeError(
-                f"coarse track failed: mode ({l},{m},{n}) chi={chi:.4f}")
-        w_coarse[j], A_coarse[j] = w[0] / 2.0, A[0]
+        w_coarse[j], A_coarse[j] = _solve_point(chi, w_guess, A_guess,
+                                                chi_prev)
         w_prev, A_prev = w_coarse[j], A_coarse[j]
+        chi_prev = chi
 
     # ---- fine pass: lockstep Newton across the whole grid ---------------
     w_fine = np.interp(chi_grid, chi_grid[coarse_idx], w_coarse.real) \
