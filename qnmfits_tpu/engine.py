@@ -57,10 +57,13 @@ class SpectrumEvaluator:
         self.tables = t
         self.mode_set: ModeIndexSet = t.compile_modes(modes)
         rows = self.mode_set.rows_np()            # (J, Kc)
-        self.signs = jnp.asarray(self.mode_set.signs_np())      # (J, Kc)
-        self.mask = jnp.asarray(self.mode_set.mask_np())        # (J, Kc)
-        self.chi_grid = jnp.asarray(t.chi)
-        self.omega_coeffs = jnp.asarray(t.omega_c[rows])  # (J, Kc, P-1, 4)
+        # NumPy constants: they are baked into jitted programs on the
+        # jit's device.  Eager jnp.asarray would land on the default
+        # device -- the TPU -- which cannot hold complex128.
+        self.signs = self.mode_set.signs_np()                   # (J, Kc)
+        self.mask = self.mode_set.mask_np()                     # (J, Kc)
+        self.chi_grid = np.asarray(t.chi)
+        self.omega_coeffs = np.asarray(t.omega_c[rows])   # (J, Kc, P-1, 4)
 
         if spherical_modes is not None:
             for mode in self.mode_set.modes:
@@ -72,21 +75,26 @@ class SpectrumEvaluator:
                        for mode in self.mode_set.modes]
             r, comp, sgn, par, nz = t.compile_mu_indices(indices)
             I, J = len(spherical_modes), self.mode_set.J
-            self.mu_coeffs = jnp.asarray(
+            self.mu_coeffs = np.asarray(
                 t.mu_c[r, comp].reshape(I, J, -1, 4))   # (I, J, P-1, 4)
-            self.mu_signs = jnp.asarray(sgn.reshape(I, J))
-            self.mu_parity = jnp.asarray(par.reshape(I, J))
-            self.mu_nonzero = jnp.asarray(nz.reshape(I, J))
+            self.mu_signs = sgn.reshape(I, J)
+            self.mu_parity = par.reshape(I, J)
+            self.mu_nonzero = nz.reshape(I, J)
         else:
             self.mu_coeffs = None
 
     def _spline(self, coeffs, chif):
         """Evaluate packed coefficients (..., P-1, 4) at chif (scalar or
-        (Q,)); returns (...,) or (..., Q)."""
+        (Q,)); returns (...,) or (..., Q).
+
+        Called inside jit: the NumPy constants become on-device constants
+        here (safe for any backend), never eagerly."""
+        coeffs = jnp.asarray(coeffs)
+        grid = jnp.asarray(self.chi_grid)
         xq = jnp.atleast_1d(chif)
-        i = jnp.clip(jnp.searchsorted(self.chi_grid, xq, side="right") - 1,
-                     0, self.chi_grid.shape[0] - 2)
-        dx = (xq - self.chi_grid[i]).astype(coeffs.real.dtype)
+        i = jnp.clip(jnp.searchsorted(grid, xq, side="right") - 1,
+                     0, grid.shape[0] - 2)
+        dx = (xq - grid[i]).astype(coeffs.real.dtype)
         c = coeffs[..., i, :]
         val = ((c[..., 0] * dx + c[..., 1]) * dx + c[..., 2]) * dx + c[..., 3]
         return val if jnp.ndim(chif) else val[..., 0]

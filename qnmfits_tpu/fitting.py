@@ -115,9 +115,10 @@ def _run_fit(times, data_rows, modes, Mf, chif, t0, t0_method, T,
 
     delta_factor = np.asarray(_delta_factor(delta, len(modes)))
     dev = _device_for(precision)
-    args = [jnp.asarray(np.asarray(x)) for x in
+    # device_put from NumPy directly: an eager jnp.asarray would place
+    # complex128 on the TPU, which does not support it.
+    args = [jax.device_put(np.asarray(x), dev) for x in
             (times, data_rows, Mf, chif, t0, T, delta_factor)]
-    args = [jax.device_put(a, dev) for a in args]
     C, res, rank, sv, model, omega, mu, w = fn(*args)
 
     tm = _masked_to_np(np.asarray(times, float), w)

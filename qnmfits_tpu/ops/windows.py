@@ -44,7 +44,5 @@ def trapz_weights(times, w):
     """
     dt = times[1:] - times[:-1]
     seg = w[:-1] * w[1:] * dt * 0.5
-    tau = jnp.zeros_like(times)
-    tau = tau.at[:-1].add(seg)
-    tau = tau.at[1:].add(seg)
-    return tau
+    zero = jnp.zeros((1,), dtype=seg.dtype)
+    return jnp.concatenate([seg, zero]) + jnp.concatenate([zero, seg])

@@ -1,0 +1,153 @@
+"""Multi-chip sweep sharding over a JAX device mesh.
+
+The reference scales its sweeps by doing nothing (serial Python loops,
+SURVEY.md section 2.6).  The workload's natural parallel axes are:
+
+* ``sweep`` -- data parallelism over fit configurations (t0 / grid
+  points).  Zero cross-device communication except the result gather.
+* ``time`` -- the time-sample axis K of the Gram contractions.  Sharding
+  K turns each fit's Gram assembly into partial sums + a psum over ICI:
+  the analogue of sequence parallelism for this workload, useful when a
+  single fit's K is large or when fits-per-device are few.
+
+Both are expressed with shard_map over a 2D Mesh('sweep', 'time'); the
+J x J solves happen replicated per device (J <= ~32, negligible).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import fit_core
+from ..ops.solve import gram_cholesky
+from ..ops.windows import trapz_weights, window_geq
+
+__all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core"]
+
+
+def sweep_mesh(n_sweep: int | None = None, n_time: int = 1,
+               devices=None) -> Mesh:
+    """Build a ('sweep', 'time') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_sweep is None:
+        n_sweep = len(devices) // n_time
+    devs = np.asarray(devices[: n_sweep * n_time]).reshape(n_sweep, n_time)
+    return Mesh(devs, ("sweep", "time"))
+
+
+def _pad_to(x, mult, axis=0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, mode="edge"), n
+
+
+def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
+                     cdtype=jnp.complex64, t0_method: str = "geq"):
+    """t0 sweep sharded over mesh axis 'sweep' (pure DP over windows).
+
+    times (K,), data (I, K), omega (J,), mu (I, J) are replicated;
+    t0s/Ts (B,) are sharded.  Returns (C (B, J), mm (B,)) gathered.
+    """
+    n_sweep = mesh.shape["sweep"]
+    t0s = jnp.asarray(t0s)
+    Ts = jnp.broadcast_to(jnp.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep)
+    Ts_p, _ = _pad_to(Ts, n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("sweep"), P("sweep")),
+        out_specs=(P("sweep"), P("sweep")),
+    )
+    def run(times_, data_, omega_, mu_, t0_loc, T_loc):
+        def one(args):
+            t0, T = args
+            w = window_geq(times_, t0, T)
+            return fit_core(times_, data_, omega_, mu_, t0, w, cdtype)
+        return jax.lax.map(one, (t0_loc, T_loc), batch_size=64)
+
+    C, mm = jax.jit(run)(jnp.asarray(times), jnp.asarray(data),
+                         jnp.asarray(omega), jnp.asarray(mu), t0s_p, Ts_p)
+    return C[:B], mm[:B]
+
+
+def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
+                     cdtype=jnp.complex64):
+    """One fit with the TIME axis sharded across mesh axis 'time'.
+
+    Each device holds a K/n_time slice of (times, data, w), computes
+    partial Gram/projection/quadrature sums, and psums them over ICI --
+    the sequence-parallel analogue for ringdown fitting.  The J x J solve
+    runs replicated.
+
+    Note: trapezoid weights are computed on the *global* time axis before
+    sharding (segment weights straddle shard boundaries).
+    """
+    tau = trapz_weights(jnp.asarray(times).astype(jnp.float32 if
+                        cdtype == jnp.complex64 else jnp.float64),
+                        jnp.asarray(w).astype(jnp.float32 if
+                        cdtype == jnp.complex64 else jnp.float64))
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("time"), P(None, "time"), P(), P(), P("time"),
+                  P("time")),
+        out_specs=(P(), P()),
+    )
+    def run(t_loc, d_loc, omega_, mu_, w_loc, tau_loc):
+        rdtype = jnp.zeros((), cdtype).real.dtype
+        t_loc = t_loc.astype(rdtype)
+        w_loc = w_loc.astype(rdtype)
+        tau_loc = tau_loc.astype(rdtype)
+        d_loc = d_loc.astype(cdtype)
+        omega_ = omega_.astype(cdtype)
+        mu_ = mu_.astype(cdtype)
+
+        phi = jnp.exp(-1j * omega_[None, :] * (t_loc[:, None] - t0))
+        phiw = phi * w_loc[:, None]
+        Mmu = mu_.conj().T @ mu_
+
+        # Partial sums over the local time shard -> psum over 'time'.
+        Gt = jax.lax.psum(phiw.conj().T @ phiw, "time")
+        pd = jax.lax.psum(
+            jnp.einsum("kj,ik->ij", phiw.conj(), d_loc * w_loc[None, :]),
+            "time")
+        phit = phi * tau_loc[:, None]
+        Gt_tau = jax.lax.psum(phit.conj().T @ phi, "time")
+        r_tau = jax.lax.psum(
+            jnp.einsum("ij,ij->j", mu_.conj(),
+                       jnp.einsum("kj,ik->ij", phit.conj(), d_loc)),
+            "time")
+        dnorm = jax.lax.psum(
+            jnp.real(jnp.sum(tau_loc[None, :] * d_loc * jnp.conj(d_loc))),
+            "time")
+
+        G = Mmu * Gt
+        rhs = jnp.einsum("ij,ij->j", mu_.conj(), pd)
+        C = gram_cholesky(G, rhs)
+
+        G_tau = Mmu * Gt_tau
+        num = jnp.real(jnp.sum(C * jnp.conj(r_tau)))
+        model_norm = jnp.real(jnp.vdot(C, G_tau @ C))
+        mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+        return C, mm
+
+    n_time = mesh.shape["time"]
+    K = np.asarray(times).shape[0]
+    if K % n_time:
+        raise ValueError(f"time axis {K} not divisible by mesh time={n_time}")
+    return jax.jit(run)(jnp.asarray(times), jnp.asarray(data),
+                        jnp.asarray(omega), jnp.asarray(mu),
+                        jnp.asarray(w), tau)

@@ -49,10 +49,10 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
     cache_dir = DATA_DIR / "track_cache"
     cache_dir.mkdir(parents=True, exist_ok=True)
 
-    # Solve m >= 0; derive m < 0 from the symmetry
-    # omega(l,-m,n) = -conj(omega), C_{l'}(-m) = (-1)^{l+l'} conj(C_{l'}).
+    # All m in [-l, l] are solved directly: m < 0 is the retrograde
+    # branch (Re > 0), not a symmetry image of m > 0.
     for l in range(2, l_max + 1):
-        for m in range(0, l + 1):
+        for m in range(-l, l + 1):
             for n in range(0, n_max + 1):
                 t0 = time.time()
                 cache = cache_dir / f"s{s}_l{l}_m{m}_n{n}_P{n_chi}.npz"
@@ -70,14 +70,6 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
                 omegas.append(w)
                 As.append(A)
                 mus.append(mu)
-
-                if m > 0:
-                    lp = np.arange(n_mu) + lmin(s, m)
-                    flip = (-1.0) ** (l + lp)
-                    keys.append((l, -m, n))
-                    omegas.append(-np.conj(w))
-                    As.append(np.conj(A))
-                    mus.append(flip[None, :] * np.conj(mu))
 
                 if verbose:
                     print(f"  ({l},{m},{n}) done in {time.time()-t0:.1f}s "

@@ -13,11 +13,10 @@ Strategy per track (vectorised two-pass):
      Newton *in lockstep across all grid points simultaneously* (NumPy
      vector ops over the grid axis; batched eig for the angular problem).
 
-m < 0 modes are generated from m > 0 by the exact symmetry
-    omega(l,-m,n) = -conj(omega(l,m,n)),
-    C_{l'}(l,-m,n) = (-1)^{l+l'} conj(C_{l'}(l,m,n)),
-the same relation the reference applies for mirror modes
-(/root/reference/qnmfits/qnm.py:232-233, 358-359).
+m < 0 modes are the retrograde branch with Re(omega) > 0 (the `qnm`
+package's labelling, which the reference's sign=-1 mirror transform
+assumes, qnm.py:220, 232-233); they are solved directly with m < 0 in the
+radial CF and angular problem, starting from the same Schwarzschild seed.
 """
 
 from __future__ import annotations
@@ -93,18 +92,33 @@ def schwarzschild_seeds(l_max: int = 8, n_max: int = 7, s: int = -2,
     Continuation in n from the n=0 mode of each l; the n=0 seeds for
     l >= 5 are extrapolated from lower l.  Returns {(l, n): omega}.
     """
-    # Trusted n=0 anchors (standard published values, M=1 units).
-    anchors = {2: 0.3736716844 - 0.0889623157j,
-               3: 0.5994432884 - 0.0927030477j,
-               4: 0.8091783775 - 0.0941640768j}
+    # Trusted n=0 anchors per spin weight (standard published values,
+    # M=1 units).  Newton polishes these to full precision, so ~1e-4
+    # anchor accuracy suffices.
+    anchors_by_s = {
+        -2: {2: 0.3736716844 - 0.0889623157j,
+             3: 0.5994432884 - 0.0927030477j,
+             4: 0.8091783775 - 0.0941640768j},
+        0: {0: 0.110455 - 0.104896j,
+            1: 0.292936 - 0.097660j,
+            2: 0.483644 - 0.096759j},
+        -1: {1: 0.248263 - 0.092488j,
+             2: 0.457596 - 0.095004j,
+             3: 0.656899 - 0.095616j},
+    }
+    anchors = anchors_by_s.get(s, {})
+    l_start = abs(s) if s in (0, -1) else 2
     out = {}
-    for l in range(2, l_max + 1):
+    for l in range(l_start, l_max + 1):
         if l in anchors:
             w_guess = anchors[l]
-        else:
+        elif (l - 1, 0) in out and (l - 2, 0) in out and (l - 3, 0) in out:
             # Quadratic extrapolation in l of the last three n=0 roots.
             ws = [out[(lp, 0)] for lp in (l - 3, l - 2, l - 1)]
             w_guess = 3.0 * ws[2] - 3.0 * ws[1] + ws[0]
+        else:
+            # Eikonal estimate (good to a few percent): enough for Newton.
+            w_guess = ((l + 0.5) - 0.5j) / (3.0 * np.sqrt(3.0))
         A = float(l * (l + 1) - s * (s + 1))
         prev = None
         for n in range(0, n_max + 1):
@@ -161,14 +175,10 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
     A : (P,) complex separation constants.
     C : (P, nl) complex mixing vectors (l' = lmin .. lmin+nl-1).
     """
-    if m < 0:
-        omega_p, A_p, C_p = track_mode(l, -m, n, omega0, chi_grid, s,
-                                       nl_extra, coarse_stride,
-                                       N_coarse, N_fine, tol)
-        lp = np.arange(C_p.shape[1]) + lmin(s, m)
-        sign_flip = (-1.0) ** (l + lp)
-        return -np.conj(omega_p), np.conj(A_p), sign_flip[None, :] * np.conj(C_p)
-
+    # NOTE: m < 0 modes are NOT the -conj mirror of m > 0 -- they are the
+    # retrograde branch with Re(omega) > 0 (the `qnm` package convention the
+    # reference relies on, qnm.py:220).  They start from the same
+    # Schwarzschild seed and are tracked directly with m < 0 in the CF.
     l0 = lmin(s, m)
     nl = l - l0 + 1 + nl_extra
     P = len(chi_grid)

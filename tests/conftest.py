@@ -16,6 +16,12 @@ os.environ["XLA_FLAGS"] = (
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to CPU
+# so eager complex128 arrays never touch the TPU (which lacks complex128).
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 
 @pytest.fixture(scope="session")
 def tables():

@@ -1,0 +1,131 @@
+"""Batched-sweep tests: vmapped results must equal per-item loop results."""
+
+import numpy as np
+import pytest
+
+from qnmfits_tpu import batched, ref_impl
+from qnmfits_tpu.testing import synthetic_multimode, synthetic_single
+
+
+@pytest.fixture(scope="module")
+def syn():
+    return synthetic_single(
+        modes=[(2, 2, n, 1) for n in range(3)], noise=1e-3, seed=7)
+
+
+@pytest.fixture(scope="module")
+def syn_mm():
+    return synthetic_multimode(seed=8)
+
+
+class TestT0Sweep:
+    def test_matches_loop(self, syn):
+        t0s = np.linspace(-5.0, 40.0, 12)
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, T_array=60.0)
+        mm_l = ref_impl.mismatch_t0_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, T_array=60.0)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_multimode_matches_loop(self, syn_mm):
+        t0s = np.linspace(0.0, 30.0, 7)
+        mm_b = batched.batch_mismatch_t0(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            syn_mm["Mf"], syn_mm["chif"], t0s,
+            spherical_modes=syn_mm["spherical_modes"])
+        mm_l = ref_impl.mismatch_t0_array(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            syn_mm["Mf"], syn_mm["chif"], t0s,
+            spherical_modes=syn_mm["spherical_modes"])
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_per_t0_T_array(self, syn):
+        t0s = np.linspace(0.0, 10.0, 5)
+        Ts = np.linspace(40.0, 80.0, 5)
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, T_array=Ts)
+        mm_l = ref_impl.mismatch_t0_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, T_array=Ts)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_closest_method(self, syn):
+        t0s = np.linspace(0.0, 10.0, 5) + 0.013
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, t0_method="closest")
+        mm_l = ref_impl.mismatch_t0_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, t0_method="closest")
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_delta(self, syn):
+        t0s = np.linspace(0.0, 10.0, 4)
+        delta = [0.01, -0.01, 0.0]
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, delta=delta)
+        mm_l = ref_impl.mismatch_t0_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, delta=delta)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+
+class TestGrids:
+    def test_M_chi_grid_matches_loop(self, syn):
+        mm_b = batched.batch_mismatch_M_chi(
+            syn["times"], syn["data"], syn["modes"], (0.9, 1.0),
+            (0.6, 0.8), t0=0.0, res=4)
+        mm_l = ref_impl.mismatch_M_chi_grid(
+            syn["times"], syn["data"], syn["modes"], (0.9, 1.0),
+            (0.6, 0.8), t0=0.0, res=4)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_M_chi_grid_multimode(self, syn_mm):
+        mm_b = batched.batch_mismatch_M_chi(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            (0.9, 1.0), (0.6, 0.8), t0=0.0, res=3,
+            spherical_modes=syn_mm["spherical_modes"])
+        mm_l = ref_impl.mismatch_M_chi_grid(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            (0.9, 1.0), (0.6, 0.8), t0=0.0, res=3,
+            spherical_modes=syn_mm["spherical_modes"])
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+    def test_omega_grid_matches_loop(self, syn):
+        kw = dict(re_minmax=(0.4, 0.6), im_minmax=(-0.2, -0.05),
+                  t0=0.0, res=4)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+            syn["chif"], **kw)
+        mm_l = ref_impl.mismatch_omega_grid(
+            syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+            syn["chif"], **kw)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+
+def test_padded_mode_set_amplitudes_zero(syn):
+    """col_mask padding: padded slots return exactly zero amplitude and do
+    not perturb the real ones."""
+    import jax.numpy as jnp
+    from qnmfits_tpu.engine import SpectrumEvaluator, fit_core
+    from qnmfits_tpu.ops.windows import window_geq
+
+    ev = SpectrumEvaluator(syn["modes"])
+    times = jnp.asarray(syn["times"])
+    data = jnp.asarray(syn["data"])[None, :]
+    omega = ev.omega(syn["chif"], syn["Mf"])
+    mu = jnp.ones((1, omega.shape[0]))
+    w = window_geq(times, 0.0, 100.0)
+    C_ref, mm_ref = fit_core(times, data, omega, mu, 0.0, w)
+
+    omega_p = jnp.concatenate([omega, jnp.zeros(2, omega.dtype)])
+    mu_p = jnp.ones((1, omega_p.shape[0]))
+    mask = jnp.array([True] * omega.shape[0] + [False] * 2)
+    C_p, mm_p = fit_core(times, data, omega_p, mu_p, 0.0, w, col_mask=mask)
+    np.testing.assert_allclose(C_p[:3], C_ref, atol=1e-12)
+    assert np.all(np.asarray(C_p[3:]) == 0)
+    assert abs(mm_p - mm_ref) < 1e-13

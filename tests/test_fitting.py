@@ -1,0 +1,175 @@
+"""Fitting-engine tests: round trips, NumPy<->JAX parity, reference
+semantics (delta, t0 methods, dynamic spectra)."""
+
+import numpy as np
+import pytest
+
+from qnmfits_tpu import ref_impl
+from qnmfits_tpu import fitting
+from qnmfits_tpu.testing import synthetic_multimode, synthetic_single
+
+
+# ---------------------------------------------------------------------------
+# Round trips (analogue of examples/correcting_measured_amplitude.ipynb:
+# a model-built waveform must be recovered exactly)
+# ---------------------------------------------------------------------------
+
+class TestRoundTrip:
+    def test_numpy_single(self):
+        syn = synthetic_single()
+        out = ref_impl.ringdown_fit(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0=0.0, T=100)
+        assert out["mismatch"] < 1e-12
+        np.testing.assert_allclose(out["C"], syn["amplitudes"], atol=1e-9)
+
+    def test_jax_single(self):
+        syn = synthetic_single()
+        out = fitting.ringdown_fit(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0=0.0, T=100)
+        assert out["mismatch"] < 1e-12
+        np.testing.assert_allclose(out["C"], syn["amplitudes"], atol=1e-9)
+
+    def test_numpy_multimode(self):
+        syn = synthetic_multimode()
+        out = ref_impl.multimode_ringdown_fit(
+            syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=0.0, T=100,
+            spherical_modes=syn["spherical_modes"])
+        assert out["mismatch"] < 1e-12
+        np.testing.assert_allclose(out["C"], syn["amplitudes"], atol=1e-8)
+
+    def test_jax_multimode(self):
+        syn = synthetic_multimode()
+        out = fitting.multimode_ringdown_fit(
+            syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=0.0, T=100,
+            spherical_modes=syn["spherical_modes"])
+        assert out["mismatch"] < 1e-12
+        np.testing.assert_allclose(out["C"], syn["amplitudes"], atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# JAX vs NumPy parity on non-trivial data (the 1e-10 gate)
+# ---------------------------------------------------------------------------
+
+def _noisy_single():
+    return synthetic_single(
+        modes=[(2, 2, n, 1) for n in range(4)] + [(2, 2, 0, -1)],
+        noise=1e-3, seed=3)
+
+
+class TestParity:
+    def test_single_fit_parity(self):
+        syn = _noisy_single()
+        kw = dict(t0=7.3, T=83.0)
+        a = ref_impl.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                  syn["Mf"], syn["chif"], **kw)
+        b = fitting.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                 syn["Mf"], syn["chif"], **kw)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        assert abs(b["mismatch"] - a["mismatch"]) < 1e-12
+        np.testing.assert_allclose(b["frequencies"], a["frequencies"],
+                                   atol=1e-12)
+
+    def test_single_fit_parity_closest(self):
+        syn = _noisy_single()
+        kw = dict(t0=7.3, T=83.0, t0_method="closest")
+        a = ref_impl.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                  syn["Mf"], syn["chif"], **kw)
+        b = fitting.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                 syn["Mf"], syn["chif"], **kw)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        assert abs(b["mismatch"] - a["mismatch"]) < 1e-12
+
+    def test_delta_perturbation_parity(self):
+        syn = _noisy_single()
+        delta = [0.01, -0.02, 0.0, 0.005, 0.0]
+        a = ref_impl.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                  syn["Mf"], syn["chif"], t0=0.0,
+                                  delta=delta)
+        b = fitting.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                 syn["Mf"], syn["chif"], t0=0.0,
+                                 delta=delta)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        np.testing.assert_allclose(b["frequencies"], a["frequencies"],
+                                   atol=1e-12)
+
+    def test_multimode_parity(self):
+        syn = synthetic_multimode(seed=4)
+        # perturb so the fit is non-trivial
+        dd = {k: v + 1e-3 * np.exp(-0.05 * np.abs(syn["times"]))
+              for k, v in syn["data_dict"].items()}
+        kw = dict(t0=3.0, T=90.0, spherical_modes=syn["spherical_modes"])
+        a = ref_impl.multimode_ringdown_fit(
+            syn["times"], dd, syn["modes"], syn["Mf"], syn["chif"], **kw)
+        b = fitting.multimode_ringdown_fit(
+            syn["times"], dd, syn["modes"], syn["Mf"], syn["chif"], **kw)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        assert abs(b["mismatch"] - a["mismatch"]) < 1e-12
+        for lm in syn["spherical_modes"]:
+            np.testing.assert_allclose(
+                b["weighted_C"][lm], a["weighted_C"][lm], atol=1e-10)
+
+    def test_dynamic_fit_parity(self):
+        syn = _noisy_single()
+        K = len(syn["times"])
+        Mf_t = np.linspace(0.97, 0.952, K)
+        chif_t = np.linspace(0.65, 0.692, K)
+        kw = dict(t0=5.0, T=80.0)
+        a = ref_impl.dynamic_ringdown_fit(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, **kw)
+        b = fitting.dynamic_ringdown_fit(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, **kw)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        assert abs(b["mismatch"] - a["mismatch"]) < 1e-12
+
+    def test_dynamic_multimode_parity(self):
+        syn = synthetic_multimode(seed=5)
+        K = len(syn["times"])
+        Mf_t = np.linspace(0.97, 0.952, K)
+        chif_t = np.linspace(0.65, 0.692, K)
+        kw = dict(t0=2.0, T=70.0, spherical_modes=syn["spherical_modes"])
+        a = ref_impl.dynamic_multimode_ringdown_fit(
+            syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, **kw)
+        b = fitting.dynamic_multimode_ringdown_fit(
+            syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, **kw)
+        np.testing.assert_allclose(b["C"], a["C"], rtol=0, atol=1e-10)
+        assert abs(b["mismatch"] - a["mismatch"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def test_ringdown_zero_padding():
+    syn = synthetic_single()
+    h = fitting.ringdown(syn["times"], 10.0, syn["amplitudes"],
+                         syn["frequencies"])
+    assert np.all(h[syn["times"] < 10.0] == 0)
+    assert np.any(h[syn["times"] >= 10.0] != 0)
+
+
+def test_mismatch_identical_is_zero():
+    syn = synthetic_single()
+    assert abs(fitting.mismatch(syn["times"], syn["data"],
+                                syn["data"])) < 1e-14
+
+
+def test_mismatch_scale_invariant():
+    syn = synthetic_single()
+    mm = fitting.mismatch(syn["times"], syn["data"], 3.7 * syn["data"])
+    assert abs(mm) < 1e-13
+
+
+def test_masked_trapz_matches_subarray():
+    import jax.numpy as jnp
+    from qnmfits_tpu.ops.windows import trapz_weights, window_geq
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 10, 200))
+    y = rng.standard_normal(200)
+    w = np.asarray(window_geq(jnp.asarray(t), 2.37, 5.0))
+    tau = np.asarray(trapz_weights(jnp.asarray(t), jnp.asarray(w)))
+    sel = w.astype(bool)
+    assert abs(np.sum(tau * y) - np.trapezoid(y[sel], x=t[sel])) < 1e-12

@@ -1,0 +1,125 @@
+"""Spectrum-layer tests: table accuracy, symmetries, reference semantics."""
+
+import numpy as np
+import pytest
+
+# Published values (standard Kerr QNM literature; also the `qnm` package's
+# documented example for chi=0.68).
+SCHW_220 = 0.3736716844 - 0.0889623157j
+SCHW_320 = 0.5994432884 - 0.0927030477j
+KERR_220_CHI068 = 0.523975104290 - 0.081512623631j
+
+
+@pytest.fixture(scope="module")
+def q():
+    from qnmfits_tpu.qnm_api import qnm
+    return qnm()
+
+
+def test_schwarzschild_values(q):
+    assert abs(q.omega(2, 2, 0, 1, 0.0) - SCHW_220) < 1e-9
+    assert abs(q.omega(3, 2, 0, 1, 0.0) - SCHW_320) < 1e-9
+
+
+def test_kerr_220_at_chi068(q):
+    # chi=0.68 is off-grid; error budget = spline interpolation error.
+    assert abs(q.omega(2, 2, 0, 1, 0.68) - KERR_220_CHI068) < 1e-8
+
+
+def test_direct_solver_vs_table(q):
+    """Spline tables agree with a direct CF solve at an off-grid spin."""
+    from qnmfits_tpu.spectrum.solver import (
+        _newton_coupled, schwarzschild_seeds, track_mode)
+
+    chi = 0.7123
+    sub = np.linspace(0.0, chi, 30)
+    w, A, C = track_mode(2, 2, 0, SCHW_220, sub, coarse_stride=4)
+    w_table = q.omega(2, 2, 0, 1, chi)
+    assert abs(w[-1] - w_table) < 1e-8
+
+
+def test_mirror_symmetry(q):
+    """sign=-1 gives -conj of the m -> -m (retrograde, Re>0) track
+    (reference qnm.py:220, 232-233)."""
+    for chi in (0.0, 0.3, 0.69):
+        w_retro = q.omega(2, -2, 0, 1, chi)   # retrograde track, Re > 0
+        w_mirror = q.omega(2, 2, 0, -1, chi)  # mirror mode, Re < 0
+        assert abs(w_mirror + np.conj(w_retro)) < 1e-12
+        assert w_mirror.real < 0
+
+
+def test_retrograde_branch_distinct(q):
+    """m<0 tables are the retrograde branch, NOT -conj of prograde."""
+    w_pro = q.omega(2, 2, 0, 1, 0.7)
+    w_retro = q.omega(2, -2, 0, 1, 0.7)
+    assert w_retro.real > 0
+    # Retrograde frequency decreases with spin; prograde increases.
+    assert w_retro.real < q.omega(2, -2, 0, 1, 0.0).real
+    assert w_pro.real > q.omega(2, 2, 0, 1, 0.0).real
+    assert abs(w_retro - (-np.conj(w_pro))) > 1e-3
+
+
+def test_mass_scaling(q):
+    w1 = q.omega(2, 2, 0, 1, 0.5, Mf=1.0)
+    w2 = q.omega(2, 2, 0, 1, 0.5, Mf=0.95)
+    assert abs(w2 - w1 / 0.95) < 1e-12
+
+
+def test_omega_list_nonlinear_sum(q):
+    """Nonlinear (quadratic) mode frequency = sum of constituents
+    (reference qnm.py:272-291)."""
+    chi = 0.69
+    w220 = q.omega(2, 2, 0, 1, chi)
+    w330 = q.omega(3, 3, 0, 1, chi)
+    [w_quad] = q.omega_list([(2, 2, 0, 1, 3, 3, 0, 1)], chi)
+    assert abs(w_quad - (w220 + w330)) < 1e-12
+
+
+def test_omega_array_chif(q):
+    chis = np.linspace(0.0, 0.9, 7)
+    w_arr = q.omega(2, 2, 0, 1, chis)
+    for i, c in enumerate(chis):
+        assert abs(w_arr[i] - q.omega(2, 2, 0, 1, c)) < 1e-14
+
+
+def test_mu_identity_at_zero_spin(q):
+    assert abs(q.mu(2, 2, 2, 2, 0, 1, 0.0) - 1.0) < 1e-10
+    assert abs(q.mu(3, 2, 2, 2, 0, 1, 0.0)) < 1e-10
+
+
+def test_mu_zero_for_different_m(q):
+    assert q.mu(2, 2, 2, 1, 0, 1, 0.5) == 0
+
+
+def test_mu_mirror_symmetry(q):
+    """mu mirror relation: sign=-1 gives (-1)^(l+l') conj of the
+    (m -> -m) lookup (reference qnm.py:339-359)."""
+    chi = 0.6
+    mu_neg = q.mu(3, -2, 2, -2, 0, 1, chi)   # direct m<0 lookup
+    mu_mirror = q.mu(3, 2, 2, 2, 0, -1, chi)
+    assert abs(mu_mirror - (-1) ** (3 + 2) * np.conj(mu_neg)) < 1e-12
+
+
+def test_mu_unit_norm(q, tables):
+    """Mixing vectors are unit-norm eigenvectors."""
+    row = tables.row[(2, 2, 0)]
+    norms = np.sum(np.abs(tables.mu[row]) ** 2, axis=1)
+    # Stored K components capture nearly all of the norm.
+    assert np.all(norms > 0.999999)
+    assert np.all(norms <= 1.0 + 1e-12)
+
+
+def test_spline_interpolation_accuracy(tables):
+    """Leave-one-out style: spline evaluated between grid points stays
+    smooth (4th-order accurate)."""
+    from qnmfits_tpu.spectrum.tables import eval_spline_np
+    row = tables.row[(2, 2, 0)]
+    chi_q = 0.5 * (tables.chi[100] + tables.chi[101])
+    w_mid = eval_spline_np(tables.chi, tables.omega_c[row], chi_q)
+    # Compare against a local 4-point polynomial through the raw samples.
+    from numpy.polynomial import polynomial as Pn
+    ks = slice(99, 103)
+    pr = np.polyfit(tables.chi[ks], tables.omega[row][ks].real, 3)
+    pi = np.polyfit(tables.chi[ks], tables.omega[row][ks].imag, 3)
+    w_poly = np.polyval(pr, chi_q) + 1j * np.polyval(pi, chi_q)
+    assert abs(w_mid - w_poly) < 1e-10
