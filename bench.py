@@ -1,0 +1,128 @@
+"""Benchmark: batched multimode ringdown fits/sec on TPU.
+
+The BASELINE.json metric surface: a t0 x mode-set sweep of multimode
+ringdown fits (the workload the reference runs as serial Python loops,
+/root/reference/qnmfits/qnmfits.py:1183-1301), executed as one jitted
+TPU program (qnmfits_tpu.batched.sweep_t0_modesets, complex64).
+
+Configuration (synthetic SXS-0305-like ringdown):
+  * K = 2001 time samples, I = 2 spherical modes (2,2), (3,2);
+  * 16 mode sets: (2,2,n<=nmax) prograde ladders + mirror-augmented and
+    (3,2)-augmented variants, padded to a common J = 16;
+  * 512 ringdown start times.
+  => 8192 multimode fits per sweep.
+
+Prints ONE json line:
+  {"metric": "multimode_fits_per_sec", "value": ..., "unit": "fits/s",
+   "vs_baseline": value / 1e4}
+(vs_baseline: BASELINE.json north-star target of 1e4 fits/s per chip;
+the reference itself publishes no performance numbers.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem():
+    from qnmfits_tpu.engine import SpectrumEvaluator
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    Mf, chif = 0.952, 0.692
+    spherical_modes = [(2, 2), (3, 2)]
+    times = np.arange(-50.0, 150.05, 0.1)
+
+    syn = synthetic_multimode(
+        modes=[(2, 2, n, 1) for n in range(8)],
+        spherical_modes=spherical_modes,
+        Mf=Mf, chif=chif, times=times, seed=11)
+
+    # Mode sets of varying size: overtone ladders, mirror-augmented,
+    # (3,2)-augmented.  Padded to a common J.
+    mode_sets = []
+    for nmax in range(1, 9):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)])
+    for nmax in range(1, 5):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
+                         + [(2, 2, 0, -1)])
+    for nmax in range(1, 5):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
+                         + [(3, 2, 0, 1), (3, 2, 1, 1)])
+
+    J = max(len(ms) for ms in mode_sets)
+    S = len(mode_sets)
+    I = len(spherical_modes)
+
+    omegas = np.zeros((S, J), np.complex64)
+    mus = np.zeros((S, I, J), np.complex64)
+    masks = np.zeros((S, J), bool)
+    for si, ms in enumerate(mode_sets):
+        ev = SpectrumEvaluator(ms, spherical_modes)
+        omegas[si, :len(ms)] = np.asarray(ev.omega(chif, Mf))
+        mus[si, :, :len(ms)] = np.asarray(ev.mu(chif))
+        masks[si, :len(ms)] = True
+
+    data = np.stack([syn["data_dict"][lm] for lm in spherical_modes])
+    t0s = np.linspace(-5.0, 46.2, 512)
+    Ts = np.full_like(t0s, 100.0)
+    return (times.astype(np.float32), data.astype(np.complex64),
+            omegas, mus, masks,
+            t0s.astype(np.float32), Ts.astype(np.float32), syn)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from qnmfits_tpu.batched import sweep_t0_modesets
+
+    times, data, omegas, mus, masks, t0s, Ts, syn = build_problem()
+    S, B = omegas.shape[0], t0s.shape[0]
+    n_fits = S * B
+
+    dev = jax.devices()[0]
+
+    fn = jax.jit(
+        lambda *a: sweep_t0_modesets(*a, t0_method="geq",
+                                     cdtype=jnp.complex64),
+        device=dev)
+
+    args = [jax.device_put(x, dev)
+            for x in (times, data, omegas, mus, t0s, Ts, masks)]
+    # signature: (times, data, omegas, mus, t0s, Ts, col_masks)
+    C, mm = fn(*args)
+    jax.block_until_ready(mm)          # warmup / compile
+
+    n_rep = 5
+    t_start = time.perf_counter()
+    for _ in range(n_rep):
+        C, mm = fn(*args)
+    jax.block_until_ready(mm)
+    elapsed = (time.perf_counter() - t_start) / n_rep
+    fits_per_sec = n_fits / elapsed
+
+    # Accuracy spot check against the NumPy lstsq reference (c64 path; the
+    # 1e-10 x64 parity gate is exercised in tests/test_batched.py).
+    from qnmfits_tpu import ref_impl
+    mm_np = np.asarray(mm)
+    ref = ref_impl.multimode_ringdown_fit(
+        np.asarray(times, float),
+        {(2, 2): data[0].astype(complex), (3, 2): data[1].astype(complex)},
+        [(2, 2, n, 1) for n in range(8)], 0.952, 0.692,
+        t0=float(t0s[300]), T=100.0,
+        spherical_modes=[(2, 2), (3, 2)])
+    dev_c64 = abs(float(mm_np[7, 300]) - ref["mismatch"])
+
+    print(json.dumps({
+        "metric": "multimode_fits_per_sec",
+        "value": round(fits_per_sec, 1),
+        "unit": "fits/s",
+        "vs_baseline": round(fits_per_sec / 1e4, 3),
+    }))
+    print(f"# device={dev} n_fits={n_fits} elapsed={elapsed*1e3:.1f} ms "
+          f"c64-vs-ref mismatch deviation={dev_c64:.2e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,20 @@ import jax as _jax
 # path requests complex64 explicitly.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: axon TPU first-compiles are very slow
+# (minutes); caching makes repeat runs (tests, benchmarks) fast.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "QNMFITS_TPU_COMP_CACHE",
+    _os.path.expanduser("~/.cache/qnmfits_tpu/xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from .fitting import (  # noqa: E402
     calculate_epsilon,
     dynamic_multimode_ringdown_fit,

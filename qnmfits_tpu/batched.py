@@ -55,6 +55,33 @@ def sweep_t0_core(times, data, omega, mu, t0s, Ts, t0_method: str,
     return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
 
 
+def sweep_t0_modesets(times, data, omegas, mus, t0s, Ts, col_masks=None,
+                      t0_method: str = "geq", cdtype=jnp.complex64,
+                      chunk: int = _CHUNK):
+    """The t0 x mode-set sweep: every (mode set, start time) pair in one
+    jitted program (the BASELINE.json throughput surface).
+
+    omegas (S, J), mus (S, I, J) padded to a common J; col_masks (S, J)
+    marks real vs padding slots.  Returns (C (S, B, J), mm (S, B)).
+    """
+    if col_masks is None:
+        col_masks = jnp.ones(omegas.shape, bool)
+
+    def per_set(args):
+        omega, mu, mask = args
+        window = window_geq if t0_method == "geq" else window_closest
+
+        def one(targs):
+            t0, T = targs
+            w = window(times, t0, T)
+            return fit_core(times, data, omega, mu, t0, w, cdtype,
+                            col_mask=mask)
+
+        return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+    return jax.lax.map(per_set, (omegas, mus, col_masks), batch_size=1)
+
+
 @lru_cache(maxsize=128)
 def _t0_sweep_fn(modes, sph, t0_method, precision):
     ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.cmath import damped_phase
 from .ops.solve import gram_cholesky
 from .ops.windows import trapz_weights, window_closest, window_geq
 from .spectrum.tables import ModeIndexSet, SpectrumTables, default_tables
@@ -166,7 +167,7 @@ def fit_core(times, data, omega, mu, t0, w, cdtype=jnp.complex128,
 
     tau = trapz_weights(times, w)
 
-    phi = jnp.exp(-1j * omega[None, :] * (times[:, None] - t0))   # (K, J)
+    phi = damped_phase(omega[None, :], times[:, None] - t0)       # (K, J)
     phiw = phi * w[:, None]
 
     # Gram pieces shared across spherical modes: the mixing enters as an
@@ -218,7 +219,7 @@ def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
     mu_t = mu_t.astype(cdtype)
 
     tau = trapz_weights(times, w)
-    phi = jnp.exp(-1j * omega_t * (times[:, None] - t0))    # (K, J)
+    phi = damped_phase(omega_t, times[:, None] - t0)        # (K, J)
     E = mu_t * phi[None, :, :]                              # (I, K, J)
 
     Ew = E * w[None, :, None]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from . import ref_impl
 from .engine import SpectrumEvaluator, _device_for, _window
+from .ops.cmath import damped_phase
 from .ref_impl import (  # noqa: F401  (re-exported reference primitives)
     get_qnm,
     mask_times,
@@ -77,7 +78,7 @@ def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
                 mu = jnp.ones((1,) + omega.shape, cdtype)
             else:
                 mu = jnp.moveaxis(ev.mu(chif), -1, 1)  # (I, K, J)
-            phi = jnp.exp(-1j * omega * (times[:, None] - t0))
+            phi = damped_phase(omega, times[:, None] - t0)
             blocks = (mu * phi[None]).astype(cdtype)   # (I, K, J)
         else:
             omega = ev.omega(chif, Mf, delta_factor)   # (J,)
@@ -85,9 +86,8 @@ def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
                 mu = jnp.ones((1, omega.shape[0]), cdtype)
             else:
                 mu = ev.mu(chif).astype(cdtype)        # (I, J)
-            phi = jnp.exp(-1j * omega[None, :]
-                          * (times[:, None] - t0).astype(cdtype))
-            blocks = mu[:, None, :] * phi[None]        # (I, K, J)
+            phi = damped_phase(omega[None, :], times[:, None] - t0)
+            blocks = (mu[:, None, :] * phi[None]).astype(cdtype)  # (I,K,J)
 
         I, K, J = blocks.shape
         a = (blocks * w[None, :, None]).reshape(I * K, J)

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..engine import fit_core
+from ..ops.cmath import damped_phase
 from ..ops.solve import gram_cholesky
 from ..ops.windows import trapz_weights, window_geq
 
@@ -50,7 +51,7 @@ def _pad_to(x, mult, axis=0):
         return x, n
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths, mode="edge"), n
+    return np.pad(x, widths, mode="edge"), n
 
 
 def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
@@ -61,8 +62,8 @@ def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
     t0s/Ts (B,) are sharded.  Returns (C (B, J), mm (B,)) gathered.
     """
     n_sweep = mesh.shape["sweep"]
-    t0s = jnp.asarray(t0s)
-    Ts = jnp.broadcast_to(jnp.asarray(Ts), t0s.shape)
+    t0s = np.asarray(t0s)
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
     t0s_p, B = _pad_to(t0s, n_sweep)
     Ts_p, _ = _pad_to(Ts, n_sweep)
 
@@ -78,8 +79,8 @@ def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
             return fit_core(times_, data_, omega_, mu_, t0, w, cdtype)
         return jax.lax.map(one, (t0_loc, T_loc), batch_size=64)
 
-    C, mm = jax.jit(run)(jnp.asarray(times), jnp.asarray(data),
-                         jnp.asarray(omega), jnp.asarray(mu), t0s_p, Ts_p)
+    C, mm = jax.jit(run)(np.asarray(times), np.asarray(data),
+                         np.asarray(omega), np.asarray(mu), t0s_p, Ts_p)
     return C[:B], mm[:B]
 
 
@@ -95,10 +96,15 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
     Note: trapezoid weights are computed on the *global* time axis before
     sharding (segment weights straddle shard boundaries).
     """
-    tau = trapz_weights(jnp.asarray(times).astype(jnp.float32 if
-                        cdtype == jnp.complex64 else jnp.float64),
-                        jnp.asarray(w).astype(jnp.float32 if
-                        cdtype == jnp.complex64 else jnp.float64))
+    # Host-side: segment weights straddle shard boundaries, so compute on
+    # the global grid before sharding.
+    rdt = np.float32 if cdtype == jnp.complex64 else np.float64
+    t_np = np.asarray(times, rdt)
+    w_np = np.asarray(w, rdt)
+    seg = w_np[:-1] * w_np[1:] * (t_np[1:] - t_np[:-1]) * 0.5
+    tau = np.zeros_like(t_np)
+    tau[:-1] += seg
+    tau[1:] += seg
 
     @partial(
         shard_map, mesh=mesh,
@@ -115,7 +121,7 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
         omega_ = omega_.astype(cdtype)
         mu_ = mu_.astype(cdtype)
 
-        phi = jnp.exp(-1j * omega_[None, :] * (t_loc[:, None] - t0))
+        phi = damped_phase(omega_[None, :], t_loc[:, None] - t0)
         phiw = phi * w_loc[:, None]
         Mmu = mu_.conj().T @ mu_
 
@@ -148,6 +154,5 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
     K = np.asarray(times).shape[0]
     if K % n_time:
         raise ValueError(f"time axis {K} not divisible by mesh time={n_time}")
-    return jax.jit(run)(jnp.asarray(times), jnp.asarray(data),
-                        jnp.asarray(omega), jnp.asarray(mu),
-                        jnp.asarray(w), tau)
+    return jax.jit(run)(t_np, np.asarray(data), np.asarray(omega),
+                        np.asarray(mu), w_np, tau)

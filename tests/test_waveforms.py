@@ -1,0 +1,115 @@
+"""Waveform-layer tests: Custom pipeline, fluxes, rotations, projection."""
+
+import numpy as np
+import pytest
+
+from qnmfits_tpu import harmonics as H
+from qnmfits_tpu.waveforms import Custom
+
+
+@pytest.fixture(scope="module")
+def ringdown_waveform():
+    """A synthetic multimode ringdown wrapped in Custom."""
+    from qnmfits_tpu.ref_impl import get_qnm
+
+    Mf, chif_mag = 0.952, 0.692
+    chif = np.array([0.0, 0.0, chif_mag])
+    # Smooth (pure damped-sinusoid) data from t=0: discontinuous data
+    # would make the spline-based fluxes ring, as in the reference.
+    times = np.arange(0.0, 100.0, 0.1)
+    q = get_qnm()
+
+    rng = np.random.default_rng(1)
+    data_dict = {}
+    for l in (2, 3):
+        for m in range(-l, l + 1):
+            data_dict[(l, m)] = np.zeros(len(times), complex)
+    for (l, m) in [(2, 2), (2, -2), (3, 2)]:
+        w = q.omega(l, abs(m), 0, 1 if m > 0 else -1, chif_mag, Mf)
+        amp = rng.standard_normal() + 1j * rng.standard_normal()
+        data_dict[(l, m)] = amp * np.exp(-1j * w * times)
+
+    metadata = {"remnant_mass": Mf, "remnant_dimensionless_spin": chif}
+    return Custom(times.copy(), data_dict, metadata)
+
+
+class TestCustom:
+    def test_attributes(self, ringdown_waveform):
+        wf = ringdown_waveform
+        assert wf.Mf == 0.952
+        assert abs(wf.chif_mag - 0.692) < 1e-12
+        assert wf.ellMax == 3
+        assert set(wf.h.keys()) == {(l, m) for l in (2, 3)
+                                    for m in range(-l, l + 1)}
+
+    def test_edot_positive(self, ringdown_waveform):
+        assert np.all(ringdown_waveform.Edot >= 0)
+
+    def test_moft_monotone_to_Mf(self, ringdown_waveform):
+        wf = ringdown_waveform
+        # M(t) decreases toward Mf as energy is radiated.
+        assert wf.Moft[-1] == pytest.approx(wf.Mf, abs=1e-10)
+        # Decreasing up to small spline-antiderivative wiggle.
+        assert np.all(np.diff(wf.Moft) <= 1e-6 * wf.Moft[0])
+        assert wf.Moft[0] >= wf.Mf
+        # And the total radiated energy matches the trapezoid Edot
+        # integral (spline vs trapezoid quadrature differ at ~1e-5 for
+        # oscillatory Edot at dt=0.1).
+        E_trapz = np.trapezoid(wf.Edot, wf.times)
+        assert wf.Moft[0] - wf.Mf == pytest.approx(E_trapz, rel=1e-3)
+
+    def test_chioft_ends_at_chif(self, ringdown_waveform):
+        wf = ringdown_waveform
+        np.testing.assert_allclose(wf.chioft[-1], wf.chif, atol=1e-10)
+
+    def test_foft_matches_mode_frequency(self, ringdown_waveform):
+        wf = ringdown_waveform
+        from qnmfits_tpu.ref_impl import get_qnm
+        w220 = get_qnm().omega(2, 2, 0, 1, wf.chif_mag, wf.Mf)
+        # For a pure damped sinusoid the phase-derivative frequency is
+        # Re(w)/2pi; check mid-waveform samples.
+        f = wf.foft[2, 2][len(wf.times) // 2]
+        assert abs(f - abs(w220.real) / (2 * np.pi)) < 1e-3
+
+    def test_zero_time_mode_peak(self):
+        times = np.arange(-20.0, 80.0, 0.1)
+        data = {(2, 2): np.exp(-((times - 3.7) ** 2))
+                * np.exp(-2j * times),
+                (2, -2): np.zeros_like(times, dtype=complex),
+                (2, 1): np.zeros_like(times, dtype=complex),
+                (2, -1): np.zeros_like(times, dtype=complex),
+                (2, 0): np.zeros_like(times, dtype=complex)}
+        md = {"remnant_mass": 0.95,
+              "remnant_dimensionless_spin": [0, 0, 0.7]}
+        wf = Custom(times, data, md, zero_time=(2, 2))
+        # After the shift, the mode peaks at t=0.
+        assert abs(wf.times[np.argmax(np.abs(wf.h[2, 2]))]) < 0.1
+
+
+class TestRotation:
+    def test_rotation_preserves_per_l_power(self):
+        """Wigner-D rotation is unitary within each l."""
+        times = np.arange(-5.0, 5.0, 0.5)
+        rng = np.random.default_rng(2)
+        data = {(l, m): rng.standard_normal(len(times))
+                + 1j * rng.standard_normal(len(times))
+                for l in (2, 3) for m in range(-l, l + 1)}
+        md = {"remnant_mass": 0.95,
+              "remnant_dimensionless_spin": [0.3, 0.1, 0.6]}
+        wf = Custom(times, dict(data), md)
+        power_before = {l: sum(np.abs(wf.h[l, m]) ** 2
+                               for m in range(-l, l + 1))
+                        for l in (2, 3)}
+        wf.rotate_modes()
+        for l in (2, 3):
+            power_after = sum(np.abs(wf.h[l, m]) ** 2
+                              for m in range(-l, l + 1))
+            np.testing.assert_allclose(power_after, power_before[l],
+                                       rtol=1e-10)
+        # Spin now along z.
+        np.testing.assert_allclose(wf.chif[:2], 0.0, atol=1e-14)
+
+    def test_project_signal_shape(self, ringdown_waveform):
+        sig = ringdown_waveform.project_signal(0.5, 1.0)
+        assert sig.shape == ringdown_waveform.times.shape
+        assert np.iscomplexobj(sig)
