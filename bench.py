@@ -74,8 +74,7 @@ def build_problem():
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from qnmfits_tpu.batched import sweep_t0_modesets
+    from qnmfits_tpu.engine_real import sweep_t0_modesets_real
 
     times, data, omegas, mus, masks, t0s, Ts, syn = build_problem()
     S, B = omegas.shape[0], t0s.shape[0]
@@ -83,21 +82,24 @@ def main():
 
     dev = jax.devices()[0]
 
-    fn = jax.jit(
-        lambda *a: sweep_t0_modesets(*a, t0_method="geq",
-                                     cdtype=jnp.complex64),
-        device=dev)
+    # Split-complex inputs: the TPU path is all-real float32 (the axon
+    # backend lacks complex-construction lowerings; see engine_real).
+    f32 = np.float32
+    dre, dim_ = data.real.astype(f32), data.imag.astype(f32)
+    wrs, wis = omegas.real.astype(f32), omegas.imag.astype(f32)
+    mres, mims = mus.real.astype(f32), mus.imag.astype(f32)
 
+    fn = jax.jit(sweep_t0_modesets_real)
     args = [jax.device_put(x, dev)
-            for x in (times, data, omegas, mus, t0s, Ts, masks)]
-    # signature: (times, data, omegas, mus, t0s, Ts, col_masks)
-    C, mm = fn(*args)
+            for x in (times, dre, dim_, wrs, wis, mres, mims,
+                      t0s, Ts, masks)]
+    Cre, Cim, mm = fn(*args)
     jax.block_until_ready(mm)          # warmup / compile
 
     n_rep = 5
     t_start = time.perf_counter()
     for _ in range(n_rep):
-        C, mm = fn(*args)
+        Cre, Cim, mm = fn(*args)
     jax.block_until_ready(mm)
     elapsed = (time.perf_counter() - t_start) / n_rep
     fits_per_sec = n_fits / elapsed

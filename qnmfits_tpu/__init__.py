@@ -25,6 +25,10 @@ import jax as _jax
 # path requests complex64 explicitly.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 passes; ringdown Gram matrices need full
+# f32 accumulation (mismatches are 1 - overlap ~ 1e-7).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent XLA compilation cache: axon TPU first-compiles are very slow
 # (minutes); caching makes repeat runs (tests, benchmarks) fast.
 import os as _os

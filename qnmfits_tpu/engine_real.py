@@ -1,0 +1,179 @@
+"""Split-complex TPU fit engine: the real-arithmetic fast path.
+
+The axon TPU backend supports real f32 compute and linear algebra fully,
+but complex construction ops (lax.complex, f32->c64 converts) and several
+complex elementwise/reduce lowerings are UNIMPLEMENTED.  This module
+therefore expresses the entire ringdown fit in split-complex form: every
+complex quantity z is carried as (Re z, Im z) pairs of real arrays, the
+design-matrix Gram assembly becomes four real matmuls (pure MXU work),
+and the J x J solve is the 2x2 real-embedded Cholesky.  No complex dtype
+ever touches the device.
+
+This is also the honest "speed-of-light" formulation: XLA's own complex
+arithmetic decomposes into exactly these real ops, minus the unsupported
+conversion lowerings.
+
+Numerics are identical to qnmfits_tpu.engine.fit_core (the complex-typed
+CPU path); tests assert equality on CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fit_core_real", "sweep_t0_real", "split", "merge"]
+
+
+def split(z):
+    """Host-side complex -> (re, im) float arrays."""
+    z = np.asarray(z)
+    return np.ascontiguousarray(z.real), np.ascontiguousarray(z.imag)
+
+
+def merge(re, im):
+    """Host-side (re, im) -> complex numpy array."""
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def _trapz_weights(times, w):
+    dt = times[1:] - times[:-1]
+    seg = w[:-1] * w[1:] * dt * 0.5
+    zero = jnp.zeros((1,), dtype=seg.dtype)
+    return jnp.concatenate([seg, zero]) + jnp.concatenate([zero, seg])
+
+
+def _embedded_solve(Gre, Gim, bre, bim):
+    """Equilibrated Hermitian solve via the real 2x2 embedding.
+
+    G = Gre + i Gim (Hermitian PD, (J, J)); b = bre + i bim (J,).
+    Returns (xre, xim).
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Gre), jnp.finfo(Gre.dtype).tiny))
+    Di = 1.0 / d
+    A = Gre * Di[:, None] * Di[None, :]
+    B = Gim * Di[:, None] * Di[None, :]
+    top = jnp.concatenate([A, -B], axis=-1)
+    bot = jnp.concatenate([B, A], axis=-1)
+    E = jnp.concatenate([top, bot], axis=-2)
+    b = jnp.concatenate([bre * Di, bim * Di])
+
+    L = jnp.linalg.cholesky(E)
+    y = jax.lax.linalg.triangular_solve(L, b[:, None], lower=True,
+                                        left_side=True)[:, 0]
+    x = jax.lax.linalg.triangular_solve(L.T, y[:, None], lower=False,
+                                        left_side=True)[:, 0]
+    J = Gre.shape[-1]
+    return x[:J] * Di, x[J:] * Di
+
+
+def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
+                  col_mask=None):
+    """Weighted multimode least-squares fit, all-real arithmetic.
+
+    times (K,); data = dre + i dim (I, K); omega = wr + i wi (J,);
+    mu = mre + i mim (I, J); w (K,) {0,1} window weights.  Dtypes follow
+    the inputs (float32 on TPU).
+
+    Returns (Cre (J,), Cim (J,), mm scalar) -- same numerics as
+    engine.fit_core.
+    """
+    tau = _trapz_weights(times, w)
+
+    # phi = P + iQ = exp(-i omega (t - t0)).
+    dt = times[:, None] - t0
+    E = jnp.exp(wi[None, :] * dt)
+    ph = wr[None, :] * dt
+    P = E * jnp.cos(ph)
+    Q = -E * jnp.sin(ph)
+    Pw = P * w[:, None]
+    Qw = Q * w[:, None]
+
+    # Gt = phi^H W phi  (w binary: w^2 = w).
+    Gt_re = Pw.T @ Pw + Qw.T @ Qw
+    Gt_im = Pw.T @ Qw - Qw.T @ Pw
+
+    # Mmu = mu^H mu.
+    M_re = mre.T @ mre + mim.T @ mim
+    M_im = mre.T @ mim - mim.T @ mre
+
+    # G = Mmu * Gt (elementwise complex product).
+    G_re = M_re * Gt_re - M_im * Gt_im
+    G_im = M_re * Gt_im + M_im * Gt_re
+
+    # pd_ij = sum_k w_k conj(phi)_kj d_ik ; conj(phi) = P - iQ.
+    dwre = dre * w[None, :]
+    dwim = dim * w[None, :]
+    pd_re = dwre @ Pw + dwim @ Qw          # (I, J)
+    pd_im = dwim @ Pw - dwre @ Qw
+
+    # rhs_j = sum_i conj(mu)_ij pd_ij.
+    rhs_re = jnp.sum(mre * pd_re + mim * pd_im, axis=0)
+    rhs_im = jnp.sum(mre * pd_im - mim * pd_re, axis=0)
+
+    if col_mask is not None:
+        keep = jnp.asarray(col_mask)
+        kk = keep[:, None] & keep[None, :]
+        eye = jnp.eye(G_re.shape[-1], dtype=G_re.dtype)
+        G_re = jnp.where(kk, G_re, eye)
+        G_im = jnp.where(kk, G_im, 0.0)
+        rhs_re = jnp.where(keep, rhs_re, 0.0)
+        rhs_im = jnp.where(keep, rhs_im, 0.0)
+
+    Cre, Cim = _embedded_solve(G_re, G_im, rhs_re, rhs_im)
+
+    # Mismatch pieces with trapezoid weights.
+    Pt = P * tau[:, None]
+    Qt = Q * tau[:, None]
+    Gtau_re = Pt.T @ P + Qt.T @ Q
+    Gtau_im = Pt.T @ Q - Qt.T @ P
+    Gt2_re = M_re * Gtau_re - M_im * Gtau_im
+    Gt2_im = M_re * Gtau_im + M_im * Gtau_re
+
+    pdt_re = dre @ Pt + dim @ Qt
+    pdt_im = dim @ Pt - dre @ Qt
+    rt_re = jnp.sum(mre * pdt_re + mim * pdt_im, axis=0)
+    rt_im = jnp.sum(mre * pdt_im - mim * pdt_re, axis=0)
+
+    # num = Re sum_j C_j conj(rt_j).
+    num = jnp.sum(Cre * rt_re + Cim * rt_im)
+    # model_norm = Re C^H (Gtau C).
+    GC_re = Gt2_re @ Cre - Gt2_im @ Cim
+    GC_im = Gt2_re @ Cim + Gt2_im @ Cre
+    model_norm = jnp.sum(Cre * GC_re + Cim * GC_im)
+    data_norm = jnp.sum(tau[None, :] * (dre * dre + dim * dim))
+    mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
+    return Cre, Cim, mm
+
+
+def sweep_t0_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                  col_mask=None, chunk: int = 64):
+    """Batch of (t0, T) windows over the real fit core (t0_method='geq').
+
+    Returns (Cre (B, J), Cim (B, J), mm (B,)).
+    """
+    def one(args):
+        t0, T = args
+        w = ((times >= t0) & (times < t0 + T)).astype(times.dtype)
+        return fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
+                             col_mask=col_mask)
+
+    return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+
+def sweep_t0_modesets_real(times, dre, dim, wrs, wis, mres, mims, t0s, Ts,
+                           col_masks, chunk: int = 64):
+    """t0 x mode-set sweep, all-real: the TPU benchmark kernel.
+
+    wrs/wis (S, J); mres/mims (S, I, J); col_masks (S, J).
+    Returns (Cre (S, B, J), Cim (S, B, J), mm (S, B)).
+    """
+    def per_set(args):
+        wr, wi, mre, mim, mask = args
+        return sweep_t0_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                             col_mask=mask, chunk=chunk)
+
+    return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
+                       batch_size=1)

@@ -19,9 +19,37 @@ All paths are batched over leading axes and dtype-polymorphic
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["gram_cholesky", "qr_solve", "svd_lstsq"]
+
+
+def _solve_real_embedded(Gs, bs):
+    """Solve the equilibrated Hermitian system via the 2x2 real embedding.
+
+    complex G = A + iB (Hermitian PD) maps to the real symmetric PD
+    [[A, -B], [B, A]]; complex rhs maps to [Re b; Im b].  The TPU backend
+    lacks complex Cholesky/LU lowering, so the J x J solve runs as a real
+    2J x 2J Cholesky (this is also the BASELINE.json north-star embedding
+    for MXU work).
+    """
+    A = jnp.real(Gs)
+    B = jnp.imag(Gs)
+    top = jnp.concatenate([A, -B], axis=-1)
+    bot = jnp.concatenate([B, A], axis=-1)
+    E = jnp.concatenate([top, bot], axis=-2)          # (..., 2J, 2J)
+    b = jnp.concatenate([jnp.real(bs), jnp.imag(bs)], axis=-1)
+
+    L = jnp.linalg.cholesky(E)
+    y = jnp.vectorize(
+        lambda Lm, v: jnp.linalg.solve(Lm, v),
+        signature="(j,j),(j)->(j)")(L, b)
+    x = jnp.vectorize(
+        lambda Lm, v: jnp.linalg.solve(Lm.swapaxes(-1, -2), v),
+        signature="(j,j),(j)->(j)")(L, y)
+    J = Gs.shape[-1]
+    return jax.lax.complex(x[..., :J], x[..., J:])
 
 
 def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
@@ -30,6 +58,9 @@ def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
     G: (..., J, J); rhs: (..., J).  Column equilibration: D G D with
     D = diag(1/sqrt(diag G)) keeps the Cholesky well scaled across the
     wildly different column norms of overtone ladders.
+
+    complex64 (the TPU path) is solved through the 2x2 real embedding;
+    complex128 (CPU parity path) uses the native complex Cholesky.
     """
     d = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1)),
                              jnp.finfo(rhs.real.dtype).tiny))
@@ -38,10 +69,15 @@ def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
     if jitter_scale:
         J = G.shape[-1]
         Gs = Gs + jitter_scale * jnp.eye(J, dtype=G.dtype)
+    bs = rhs * Dinv
+
+    if G.dtype == jnp.complex64:
+        return _solve_real_embedded(Gs, bs) * Dinv
+
     L = jnp.linalg.cholesky(Gs)
     y = jnp.vectorize(
         lambda Lm, b: jnp.linalg.solve(Lm, b),
-        signature="(j,j),(j)->(j)")(L, rhs * Dinv)
+        signature="(j,j),(j)->(j)")(L, bs)
     z = jnp.vectorize(
         lambda Lm, b: jnp.linalg.solve(Lm.conj().swapaxes(-1, -2), b),
         signature="(j,j),(j)->(j)")(L, y)

@@ -30,7 +30,8 @@ from ..ops.cmath import damped_phase
 from ..ops.solve import gram_cholesky
 from ..ops.windows import trapz_weights, window_geq
 
-__all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core"]
+__all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
+           "sharded_t0_sweep_real", "sharded_fit_core_real"]
 
 
 def sweep_mesh(n_sweep: int | None = None, n_time: int = 1,
@@ -156,3 +157,121 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
         raise ValueError(f"time axis {K} not divisible by mesh time={n_time}")
     return jax.jit(run)(t_np, np.asarray(data), np.asarray(omega),
                         np.asarray(mu), w_np, tau)
+
+
+# ---------------------------------------------------------------------------
+# Split-complex (real-arithmetic) sharded cores -- the TPU-safe path
+# (the axon backend lacks complex-construction lowerings; see engine_real).
+# ---------------------------------------------------------------------------
+
+def sharded_t0_sweep_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                          mesh: Mesh):
+    """t0 sweep sharded over mesh axis 'sweep', all-real arrays.
+
+    Returns (Cre (B, J), Cim (B, J), mm (B,)) gathered.
+    """
+    from ..engine_real import fit_core_real
+
+    n_sweep = mesh.shape["sweep"]
+    t0s = np.asarray(t0s)
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep)
+    Ts_p, _ = _pad_to(Ts, n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("sweep"),
+                  P("sweep")),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, dre_, dim_, wr_, wi_, mre_, mim_, t0_loc, T_loc):
+        def one(args):
+            t0, T = args
+            w = ((times_ >= t0) & (times_ < t0 + T)).astype(times_.dtype)
+            return fit_core_real(times_, dre_, dim_, wr_, wi_, mre_, mim_,
+                                 t0, w)
+        return jax.lax.map(one, (t0_loc, T_loc), batch_size=64)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(dre), np.asarray(dim),
+        np.asarray(wr), np.asarray(wi), np.asarray(mre), np.asarray(mim),
+        t0s_p, Ts_p)
+    return Cre[:B], Cim[:B], mm[:B]
+
+
+def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
+                          mesh: Mesh):
+    """One fit with the TIME axis sharded (psum'd Gram sums), all-real.
+
+    The split-complex analogue of sharded_fit_core: each device computes
+    the four real partial Gram matmuls on its K/n_time slice and psums
+    over the 'time' axis; the 2x2 real-embedded solve runs replicated.
+    """
+    from ..engine_real import _embedded_solve
+
+    t_np = np.asarray(times)
+    w_np = np.asarray(w, t_np.dtype)
+    seg = w_np[:-1] * w_np[1:] * (t_np[1:] - t_np[:-1]) * 0.5
+    tau = np.zeros_like(t_np)
+    tau[:-1] += seg
+    tau[1:] += seg
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("time"), P(None, "time"), P(None, "time"), P(), P(),
+                  P(), P(), P("time"), P("time")),
+        out_specs=(P(), P(), P()),
+    )
+    def run(t_loc, dre_, dim_, wr_, wi_, mre_, mim_, w_loc, tau_loc):
+        dt = t_loc[:, None] - t0
+        E = jnp.exp(wi_[None, :] * dt)
+        ph = wr_[None, :] * dt
+        Pm = E * jnp.cos(ph)
+        Qm = -E * jnp.sin(ph)
+        Pw = Pm * w_loc[:, None]
+        Qw = Qm * w_loc[:, None]
+
+        Gt_re = jax.lax.psum(Pw.T @ Pw + Qw.T @ Qw, "time")
+        Gt_im = jax.lax.psum(Pw.T @ Qw - Qw.T @ Pw, "time")
+        M_re = mre_.T @ mre_ + mim_.T @ mim_
+        M_im = mre_.T @ mim_ - mim_.T @ mre_
+        G_re = M_re * Gt_re - M_im * Gt_im
+        G_im = M_re * Gt_im + M_im * Gt_re
+
+        dwre = dre_ * w_loc[None, :]
+        dwim = dim_ * w_loc[None, :]
+        pd_re = jax.lax.psum(dwre @ Pw + dwim @ Qw, "time")
+        pd_im = jax.lax.psum(dwim @ Pw - dwre @ Qw, "time")
+        rhs_re = jnp.sum(mre_ * pd_re + mim_ * pd_im, axis=0)
+        rhs_im = jnp.sum(mre_ * pd_im - mim_ * pd_re, axis=0)
+
+        Cre, Cim = _embedded_solve(G_re, G_im, rhs_re, rhs_im)
+
+        Pt = Pm * tau_loc[:, None]
+        Qt = Qm * tau_loc[:, None]
+        Gtau_re = jax.lax.psum(Pt.T @ Pm + Qt.T @ Qm, "time")
+        Gtau_im = jax.lax.psum(Pt.T @ Qm - Qt.T @ Pm, "time")
+        G2_re = M_re * Gtau_re - M_im * Gtau_im
+        G2_im = M_re * Gtau_im + M_im * Gtau_re
+        pdt_re = jax.lax.psum(dre_ @ Pt + dim_ @ Qt, "time")
+        pdt_im = jax.lax.psum(dim_ @ Pt - dre_ @ Qt, "time")
+        rt_re = jnp.sum(mre_ * pdt_re + mim_ * pdt_im, axis=0)
+        rt_im = jnp.sum(mre_ * pdt_im - mim_ * pdt_re, axis=0)
+
+        num = jnp.sum(Cre * rt_re + Cim * rt_im)
+        GC_re = G2_re @ Cre - G2_im @ Cim
+        GC_im = G2_re @ Cim + G2_im @ Cre
+        model_norm = jnp.sum(Cre * GC_re + Cim * GC_im)
+        data_norm = jax.lax.psum(
+            jnp.sum(tau_loc[None, :] * (dre_ * dre_ + dim_ * dim_)),
+            "time")
+        mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
+        return Cre, Cim, mm
+
+    n_time = mesh.shape["time"]
+    K = t_np.shape[0]
+    if K % n_time:
+        raise ValueError(f"time axis {K} not divisible by mesh time={n_time}")
+    return jax.jit(run)(t_np, np.asarray(dre), np.asarray(dim),
+                        np.asarray(wr), np.asarray(wi), np.asarray(mre),
+                        np.asarray(mim), w_np, tau)

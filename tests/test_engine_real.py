@@ -1,0 +1,92 @@
+"""Split-complex (real-arithmetic) engine must match the complex engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qnmfits_tpu.engine import SpectrumEvaluator, fit_core
+from qnmfits_tpu.engine_real import (
+    fit_core_real, merge, split, sweep_t0_modesets_real, sweep_t0_real)
+from qnmfits_tpu.ops.windows import window_geq
+from qnmfits_tpu.testing import synthetic_multimode
+
+
+@pytest.fixture(scope="module")
+def problem():
+    syn = synthetic_multimode(seed=9)
+    ev = SpectrumEvaluator(syn["modes"], syn["spherical_modes"])
+    omega = np.asarray(ev.omega(syn["chif"], syn["Mf"]))
+    mu = np.asarray(ev.mu(syn["chif"]))
+    data = np.stack([syn["data_dict"][lm] for lm in syn["spherical_modes"]])
+    data = data + 1e-3 * np.exp(-0.03 * np.abs(syn["times"]))
+    return syn["times"].astype(float), data, omega, mu
+
+
+def test_fit_core_real_matches_complex(problem):
+    times, data, omega, mu = problem
+    t0 = 4.2
+    w = np.asarray((times >= t0) & (times < t0 + 80.0), float)
+
+    C, mm = fit_core(jnp.asarray(times), jnp.asarray(data),
+                     jnp.asarray(omega), jnp.asarray(mu), t0,
+                     jnp.asarray(w), cdtype=jnp.complex128)
+
+    dre, dim = split(data)
+    wr, wi = split(omega)
+    mre, mim = split(mu)
+    Cre, Cim, mm_r = fit_core_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), t0, jnp.asarray(w))
+
+    np.testing.assert_allclose(merge(Cre, Cim), np.asarray(C), atol=1e-11)
+    assert abs(float(mm_r) - float(mm)) < 1e-13
+
+
+def test_fit_core_real_col_mask(problem):
+    times, data, omega, mu = problem
+    t0 = 0.0
+    w = np.asarray((times >= t0) & (times < t0 + 100.0), float)
+    J = omega.shape[0]
+    wr, wi = split(np.concatenate([omega, np.zeros(2, complex)]))
+    mre, mim = split(np.concatenate([mu, np.ones((mu.shape[0], 2))], 1))
+    dre, dim = split(data)
+    mask = np.array([True] * J + [False] * 2)
+    Cre, Cim, mm_p = fit_core_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), t0, jnp.asarray(w), col_mask=jnp.asarray(mask))
+    assert np.all(np.asarray(Cre)[J:] == 0)
+    assert np.all(np.asarray(Cim)[J:] == 0)
+
+    wr0, wi0 = split(omega)
+    mre0, mim0 = split(mu)
+    Cre0, Cim0, mm0 = fit_core_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr0), jnp.asarray(wi0), jnp.asarray(mre0),
+        jnp.asarray(mim0), t0, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(Cre)[:J], np.asarray(Cre0),
+                               atol=1e-12)
+    assert abs(float(mm_p) - float(mm0)) < 1e-13
+
+
+def test_sweep_real_matches_loop(problem):
+    times, data, omega, mu = problem
+    t0s = np.linspace(0.0, 20.0, 6)
+    Ts = np.full_like(t0s, 80.0)
+    dre, dim = split(data)
+    wr, wi = split(omega)
+    mre, mim = split(mu)
+    Cre, Cim, mm = sweep_t0_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), jnp.asarray(t0s), jnp.asarray(Ts))
+    for b, t0 in enumerate(t0s):
+        w = np.asarray((times >= t0) & (times < t0 + Ts[b]), float)
+        C1, mm1 = fit_core(jnp.asarray(times), jnp.asarray(data),
+                           jnp.asarray(omega), jnp.asarray(mu), t0,
+                           jnp.asarray(w), cdtype=jnp.complex128)
+        np.testing.assert_allclose(merge(Cre[b], Cim[b]), np.asarray(C1),
+                                   atol=1e-10)
+        assert abs(float(mm[b]) - float(mm1)) < 1e-12
