@@ -167,7 +167,10 @@ def fit_core(times, data, omega, mu, t0, w, cdtype=jnp.complex128,
 
     tau = trapz_weights(times, w)
 
-    phi = damped_phase(omega[None, :], times[:, None] - t0)       # (K, J)
+    # Window-clamped phase (w binary): avoids backward-in-time
+    # exponential overflow; products with w/tau are unchanged.
+    phi = damped_phase(omega[None, :],
+                       (times[:, None] - t0) * w[:, None])       # (K, J)
     phiw = phi * w[:, None]
 
     # Gram pieces shared across spherical modes: the mixing enters as an
@@ -219,7 +222,7 @@ def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
     mu_t = mu_t.astype(cdtype)
 
     tau = trapz_weights(times, w)
-    phi = damped_phase(omega_t, times[:, None] - t0)        # (K, J)
+    phi = damped_phase(omega_t, (times[:, None] - t0) * w[:, None])
     E = mu_t * phi[None, :, :]                              # (I, K, J)
 
     Ew = E * w[None, :, None]

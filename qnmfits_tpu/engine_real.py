@@ -82,8 +82,12 @@ def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
     """
     tau = _trapz_weights(times, w)
 
-    # phi = P + iQ = exp(-i omega (t - t0)).
-    dt = times[:, None] - t0
+    # phi = P + iQ = exp(-i omega (t - t0)).  The phase argument is
+    # clamped by the window weight (exact for binary w): outside the
+    # window the damped exponential grows backward in time and overflows
+    # -- notably on TPU, where f64 is double-single emulation with
+    # float32 exponent range.
+    dt = (times[:, None] - t0) * w[:, None]
     E = jnp.exp(wi[None, :] * dt)
     ph = wr[None, :] * dt
     P = E * jnp.cos(ph)
@@ -174,6 +178,175 @@ def sweep_t0_modesets_real(times, dre, dim, wrs, wis, mres, mims, t0s, Ts,
         wr, wi, mre, mim, mask = args
         return sweep_t0_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
                              col_mask=mask, chunk=chunk)
+
+    return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
+                       batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# Factored t0 sweep: the throughput kernel
+# ---------------------------------------------------------------------------
+#
+# For a start-time sweep the design matrix factorises:
+#     phi_b = phi0 . diag(f_b),   phi0 = exp(-i omega (t - tref)),
+#     f_b   = exp(i omega (t0_b - tref)),
+# so the least-squares solution in the phi0 basis is C0_b, and the
+# reported amplitudes are C_b = C0_b * exp(-i omega delta_b) -- the model
+# and the mismatch are invariant under the diagonal phase.  Per chunk of
+# start times the transcendentals are computed ONCE (K*J instead of
+# B*K*J), and the per-window Gram assembly becomes one
+# (B, K) @ (K, J^2) real matmul -- large MXU tiles instead of B tiny
+# (K,J)^T(K,J) products.
+#
+# Overflow discipline (TPU f64 is double-single with float32 exponent
+# range): rows with t < tref are clamped to dt=0; they are outside every
+# window in the chunk (t0_b >= tref), so their weights are zero and the
+# clamp is exact.
+
+def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
+                          col_mask):
+    """One chunk of start times, factored form.  t0c/Tc (Bc,)."""
+    K = times.shape[0]
+    J = wr.shape[0]
+    I = dre.shape[0]
+    tref = t0c[0]
+
+    dt0 = jnp.maximum(times - tref, 0.0)                 # (K,)
+    E = jnp.exp(wi[None, :] * dt0[:, None])
+    ph = wr[None, :] * dt0[:, None]
+    P0 = E * jnp.cos(ph)                                  # (K, J)
+    Q0 = -E * jnp.sin(ph)
+
+    # Pairwise products conj(phi0)_j phi0_l: A1 + i A2, flattened (K, J*J).
+    A1 = (P0[:, :, None] * P0[:, None, :]
+          + Q0[:, :, None] * Q0[:, None, :]).reshape(K, J * J)
+    A2 = (P0[:, :, None] * Q0[:, None, :]
+          - Q0[:, :, None] * P0[:, None, :]).reshape(K, J * J)
+
+    # Data projections R = conj(phi0)^T d pieces, flattened (K, I*J).
+    R1 = (P0[:, None, :] * dre.T[:, :, None]
+          + Q0[:, None, :] * dim.T[:, :, None]).reshape(K, I * J)
+    R2 = (P0[:, None, :] * dim.T[:, :, None]
+          - Q0[:, None, :] * dre.T[:, :, None]).reshape(K, I * J)
+
+    # Window and trapezoid weights for every start time in the chunk.
+    W = ((times[None, :] >= t0c[:, None])
+         & (times[None, :] < (t0c + Tc)[:, None])).astype(times.dtype)
+    dts = times[1:] - times[:-1]
+    seg = W[:, :-1] * W[:, 1:] * dts[None, :] * 0.5
+    zero = jnp.zeros((W.shape[0], 1), dtype=W.dtype)
+    Tau = (jnp.concatenate([seg, zero], axis=1)
+           + jnp.concatenate([zero, seg], axis=1))       # (Bc, K)
+
+    # Gram/projection sums for all windows at once: (Bc, K) @ (K, .).
+    Gt_re = (W @ A1).reshape(-1, J, J)
+    Gt_im = (W @ A2).reshape(-1, J, J)
+    Gtau_re = (Tau @ A1).reshape(-1, J, J)
+    Gtau_im = (Tau @ A2).reshape(-1, J, J)
+    pd_re = (W @ R1).reshape(-1, I, J)
+    pd_im = (W @ R2).reshape(-1, I, J)
+    pdt_re = (Tau @ R1).reshape(-1, I, J)
+    pdt_im = (Tau @ R2).reshape(-1, I, J)
+    dnorm = Tau @ jnp.sum(dre * dre + dim * dim, axis=0)  # (Bc,)
+
+    # Mixing factor (shared).
+    M_re = mre.T @ mre + mim.T @ mim
+    M_im = mre.T @ mim - mim.T @ mre
+    G_re = M_re[None] * Gt_re - M_im[None] * Gt_im
+    G_im = M_re[None] * Gt_im + M_im[None] * Gt_re
+    G2_re = M_re[None] * Gtau_re - M_im[None] * Gtau_im
+    G2_im = M_re[None] * Gtau_im + M_im[None] * Gtau_re
+
+    rhs_re = jnp.einsum("ij,bij->bj", mre, pd_re) \
+        + jnp.einsum("ij,bij->bj", mim, pd_im)
+    rhs_im = jnp.einsum("ij,bij->bj", mre, pd_im) \
+        - jnp.einsum("ij,bij->bj", mim, pd_re)
+    rt_re = jnp.einsum("ij,bij->bj", mre, pdt_re) \
+        + jnp.einsum("ij,bij->bj", mim, pdt_im)
+    rt_im = jnp.einsum("ij,bij->bj", mre, pdt_im) \
+        - jnp.einsum("ij,bij->bj", mim, pdt_re)
+
+    if col_mask is not None:
+        keep = jnp.asarray(col_mask)
+        kk = (keep[:, None] & keep[None, :])[None]
+        eye = jnp.eye(J, dtype=G_re.dtype)[None]
+        G_re = jnp.where(kk, G_re, eye)
+        G_im = jnp.where(kk, G_im, 0.0)
+        rhs_re = jnp.where(keep[None], rhs_re, 0.0)
+        rhs_im = jnp.where(keep[None], rhs_im, 0.0)
+
+    # Batched equilibrated real-embedded solve.
+    dgd = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(G_re, axis1=-2, axis2=-1),
+        jnp.finfo(G_re.dtype).tiny))                     # (Bc, J)
+    Di = 1.0 / dgd
+    A = G_re * Di[:, :, None] * Di[:, None, :]
+    Bm = G_im * Di[:, :, None] * Di[:, None, :]
+    top = jnp.concatenate([A, -Bm], axis=-1)
+    bot = jnp.concatenate([Bm, A], axis=-1)
+    Emb = jnp.concatenate([top, bot], axis=-2)           # (Bc, 2J, 2J)
+    bvec = jnp.concatenate([rhs_re * Di, rhs_im * Di], axis=-1)
+
+    L = jnp.linalg.cholesky(Emb)
+    y = jax.lax.linalg.triangular_solve(L, bvec[..., None], lower=True,
+                                        left_side=True)[..., 0]
+    x = jax.lax.linalg.triangular_solve(
+        jnp.swapaxes(L, -1, -2), y[..., None], lower=False,
+        left_side=True)[..., 0]
+    C0re = x[:, :J] * Di
+    C0im = x[:, J:] * Di
+
+    # Mismatch (phase-invariant; uses the phi0-basis quantities).
+    num = jnp.sum(C0re * rt_re + C0im * rt_im, axis=-1)
+    GC_re = jnp.einsum("bjl,bl->bj", G2_re, C0re) \
+        - jnp.einsum("bjl,bl->bj", G2_im, C0im)
+    GC_im = jnp.einsum("bjl,bl->bj", G2_re, C0im) \
+        + jnp.einsum("bjl,bl->bj", G2_im, C0re)
+    model_norm = jnp.sum(C0re * GC_re + C0im * GC_im, axis=-1)
+    mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+
+    # Report amplitudes w.r.t. t0: C_b = C0_b * exp(-i omega delta_b),
+    # magnitude e^{wi delta} <= 1 (no overflow).
+    delta = (t0c - tref)[:, None]
+    g = jnp.exp(wi[None, :] * delta)
+    cph = jnp.cos(wr[None, :] * delta)
+    sph = jnp.sin(wr[None, :] * delta)
+    Cre = g * (C0re * cph + C0im * sph)
+    Cim = g * (C0im * cph - C0re * sph)
+    return Cre, Cim, mm
+
+
+def sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                           col_mask=None, chunk: int = 64):
+    """Factored t0 sweep (geq windows); t0s must be sorted ascending.
+
+    Returns (Cre (B, J), Cim (B, J), mm (B,)).
+    """
+    def one_chunk(args):
+        t0c, Tc = args
+        return _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim,
+                                     t0c, Tc, col_mask)
+
+    B = t0s.shape[0]
+    pad = (-B) % chunk
+    if pad:
+        t0s = jnp.concatenate([t0s, jnp.full(pad, t0s[-1], t0s.dtype)])
+        Ts = jnp.concatenate([Ts, jnp.full(pad, Ts[-1], Ts.dtype)])
+    nc = t0s.shape[0] // chunk
+    Cre, Cim, mm = jax.lax.map(
+        one_chunk, (t0s.reshape(nc, chunk), Ts.reshape(nc, chunk)))
+    J = wr.shape[0]
+    return (Cre.reshape(-1, J)[:B], Cim.reshape(-1, J)[:B],
+            mm.reshape(-1)[:B])
+
+
+def sweep_t0_modesets_factored_real(times, dre, dim, wrs, wis, mres, mims,
+                                    t0s, Ts, col_masks, chunk: int = 64):
+    """t0 x mode-set sweep on the factored kernel."""
+    def per_set(args):
+        wr, wi, mre, mim, mask = args
+        return sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim,
+                                      t0s, Ts, col_mask=mask, chunk=chunk)
 
     return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
                        batch_size=1)

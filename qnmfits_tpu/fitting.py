@@ -78,7 +78,8 @@ def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
                 mu = jnp.ones((1,) + omega.shape, cdtype)
             else:
                 mu = jnp.moveaxis(ev.mu(chif), -1, 1)  # (I, K, J)
-            phi = damped_phase(omega, times[:, None] - t0)
+            phi = damped_phase(omega, (times[:, None] - t0)
+                               * w[:, None])
             blocks = (mu * phi[None]).astype(cdtype)   # (I, K, J)
         else:
             omega = ev.omega(chif, Mf, delta_factor)   # (J,)
@@ -86,7 +87,8 @@ def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
                 mu = jnp.ones((1, omega.shape[0]), cdtype)
             else:
                 mu = ev.mu(chif).astype(cdtype)        # (I, J)
-            phi = damped_phase(omega[None, :], times[:, None] - t0)
+            phi = damped_phase(omega[None, :],
+                               (times[:, None] - t0) * w[:, None])
             blocks = (mu[:, None, :] * phi[None]).astype(cdtype)  # (I,K,J)
 
         I, K, J = blocks.shape

@@ -122,7 +122,8 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
         omega_ = omega_.astype(cdtype)
         mu_ = mu_.astype(cdtype)
 
-        phi = damped_phase(omega_[None, :], t_loc[:, None] - t0)
+        phi = damped_phase(omega_[None, :],
+                           (t_loc[:, None] - t0) * w_loc[:, None])
         phiw = phi * w_loc[:, None]
         Mmu = mu_.conj().T @ mu_
 
@@ -223,7 +224,7 @@ def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
         out_specs=(P(), P(), P()),
     )
     def run(t_loc, dre_, dim_, wr_, wi_, mre_, mim_, w_loc, tau_loc):
-        dt = t_loc[:, None] - t0
+        dt = (t_loc[:, None] - t0) * w_loc[:, None]
         E = jnp.exp(wi_[None, :] * dt)
         ph = wr_[None, :] * dt
         Pm = E * jnp.cos(ph)

@@ -90,3 +90,51 @@ def test_sweep_real_matches_loop(problem):
         np.testing.assert_allclose(merge(Cre[b], Cim[b]), np.asarray(C1),
                                    atol=1e-10)
         assert abs(float(mm[b]) - float(mm1)) < 1e-12
+
+
+def test_factored_sweep_matches_direct(problem):
+    """The factored t0 sweep must equal the direct per-window kernel."""
+    from qnmfits_tpu.engine_real import (
+        sweep_t0_factored_real, sweep_t0_real)
+    times, data, omega, mu = problem
+    t0s = np.linspace(-3.0, 25.0, 11)
+    Ts = np.full_like(t0s, 80.0)
+    dre, dim = split(data)
+    wr, wi = split(omega)
+    mre, mim = split(mu)
+    args = [jnp.asarray(x) for x in
+            (times, dre, dim, wr, wi, mre, mim, t0s, Ts)]
+    C1re, C1im, mm1 = sweep_t0_real(*args)
+    C2re, C2im, mm2 = sweep_t0_factored_real(*args, chunk=4)
+    np.testing.assert_allclose(np.asarray(mm2), np.asarray(mm1),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(merge(C2re, C2im), merge(C1re, C1im),
+                               atol=1e-9)
+
+
+def test_factored_sweep_with_padding(problem):
+    from qnmfits_tpu.engine_real import sweep_t0_factored_real
+    times, data, omega, mu = problem
+    t0s = np.linspace(0.0, 10.0, 5)
+    Ts = np.full_like(t0s, 60.0)
+    J = omega.shape[0]
+    omega_p = np.concatenate([omega, np.zeros(2, complex)])
+    mu_p = np.concatenate([mu, np.ones((mu.shape[0], 2))], axis=1)
+    mask = np.array([True] * J + [False] * 2)
+    dre, dim = split(data)
+    wr, wi = split(omega_p)
+    mre, mim = split(mu_p)
+    Cre, Cim, mm = sweep_t0_factored_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), jnp.asarray(t0s), jnp.asarray(Ts),
+        col_mask=jnp.asarray(mask), chunk=4)
+    assert np.all(np.asarray(Cre)[:, J:] == 0)
+    wr0, wi0 = split(omega)
+    mre0, mim0 = split(mu)
+    from qnmfits_tpu.engine_real import sweep_t0_real
+    C0re, C0im, mm0 = sweep_t0_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr0), jnp.asarray(wi0), jnp.asarray(mre0),
+        jnp.asarray(mim0), jnp.asarray(t0s), jnp.asarray(Ts))
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mm0), atol=1e-12)
