@@ -292,18 +292,36 @@ def mismatch_omega_grid(times, data, modes, Mf, chif, re_minmax, im_minmax,
 
 
 def calculate_epsilon(times, data, modes, Mf, chif, t0, t0_method="geq",
-                      T=100, spherical_modes=None, min_method="Nelder-Mead",
+                      T=100, spherical_modes=None, min_method="gradient",
                       delta=0.0, x0=None):
     """Best-fit remnant (Mf, chif) and epsilon distance
-    (reference qnmfits.py:1418-1594)."""
+    (reference qnmfits.py:1418-1594).
+
+    min_method='gradient' (default) runs L-BFGS-B on the differentiable
+    mismatch (qnmfits_tpu.optimize); any scipy method name (e.g.
+    'Nelder-Mead') runs the reference-style derivative-free path.
+    """
+    if min_method == "gradient":
+        from .optimize import calculate_epsilon_gradient
+        return calculate_epsilon_gradient(
+            times, data, modes, Mf, chif, t0, t0_method, T,
+            spherical_modes, delta, x0)
     return ref_impl.calculate_epsilon(
         times, data, modes, Mf, chif, t0, t0_method, T, spherical_modes,
         min_method, delta, x0)
 
 
 def free_frequency_fit(times, data, t0, modes=[], Mf=None, chif=None,
-                       t0_method="geq", T=100, min_method="Nelder-Mead"):
+                       t0_method="geq", T=100, min_method="gradient"):
     """Free complex-frequency fit on top of fixed QNMs
-    (reference qnmfits.py:1905-2043)."""
+    (reference qnmfits.py:1905-2043).
+
+    min_method='gradient' (default) runs L-BFGS-B on the differentiable
+    mismatch; any scipy method name runs the reference-style path.
+    """
+    if min_method == "gradient":
+        from .optimize import free_frequency_fit_gradient
+        return free_frequency_fit_gradient(
+            times, data, t0, modes, Mf, chif, t0_method, T)
     return ref_impl.free_frequency_fit(
         times, data, t0, modes, Mf, chif, t0_method, T, min_method)

@@ -36,7 +36,8 @@ DATA_DIR = Path(__file__).parent.parent / "data"
 
 def build(l_max: int = 5, n_max: int = 7, s: int = -2,
           n_chi: int = 400, n_mu: int = 12,
-          out: Path | None = None, verbose: bool = True) -> Path:
+          out: Path | None = None, verbose: bool = True,
+          l2_extension: bool = True) -> Path:
     chi = default_chi_grid(n_chi)
     seeds = schwarzschild_seeds(l_max=l_max, n_max=n_max, s=s)
 
@@ -75,6 +76,37 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
                     print(f"  ({l},{m},{n}) done in {time.time()-t0:.1f}s "
                           f"[total {time.time()-t_start:.0f}s]", flush=True)
 
+    # l=2 multiplets (n=8,9) and extended ladder (n=10,11): the modes
+    # where the reference needs Cook & Zalutskiy data (qnm.py:56-87).
+    if l2_extension and s == -2:
+        from .multiplets import multiplet_tracks
+        for m in range(-2, 3):
+            t0 = time.time()
+            cache = cache_dir / f"s{s}_l2ext_m{m}_P{n_chi}.npz"
+            if cache.exists():
+                zc = np.load(cache)
+                tracks = {int(n): (zc[f"w{n}"], zc[f"A{n}"], zc[f"C{n}"])
+                          for n in zc["labels"]}
+            else:
+                tracks = multiplet_tracks(m, chi, s=s, verbose=verbose)
+                save = {"labels": np.array(sorted(tracks), np.int32)}
+                for n, (w, A, C) in tracks.items():
+                    save[f"w{n}"] = w
+                    save[f"A{n}"] = A
+                    save[f"C{n}"] = C
+                np.savez(cache, **save)
+            for n, (w, A, C) in sorted(tracks.items()):
+                K = min(n_mu, C.shape[1])
+                mu = np.zeros((len(chi), n_mu), complex)
+                mu[:, :K] = C[:, :K]
+                keys.append((2, m, n))
+                omegas.append(w)
+                As.append(A)
+                mus.append(mu)
+            if verbose:
+                print(f"  l=2 extension m={m} done in {time.time()-t0:.1f}s",
+                      flush=True)
+
     DATA_DIR.mkdir(parents=True, exist_ok=True)
     if out is None:
         out = DATA_DIR / f"qnm_tables_s{s}.npz"
@@ -101,9 +133,12 @@ def main():
     p.add_argument("--nchi", type=int, default=400)
     p.add_argument("--nmu", type=int, default=12)
     p.add_argument("--s", type=int, default=-2)
+    p.add_argument("--no-l2ext", action="store_true",
+                   help="skip the l=2 n>=8 multiplet/extension tracks")
     args = p.parse_args()
     build(l_max=args.lmax, n_max=args.nmax, s=args.s,
-          n_chi=args.nchi, n_mu=args.nmu)
+          n_chi=args.nchi, n_mu=args.nmu,
+          l2_extension=not args.no_l2ext)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""Gradient-optimiser tests: remnant recovery and free-frequency fits."""
+
+import numpy as np
+import pytest
+
+from qnmfits_tpu import fitting
+from qnmfits_tpu.testing import synthetic_multimode, synthetic_single
+
+
+class TestCalculateEpsilon:
+    def test_recovers_true_remnant_single(self):
+        syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                               seed=12)
+        eps, Mf_bf, chif_bf = fitting.calculate_epsilon(
+            syn["times"], syn["data"], syn["modes"],
+            syn["Mf"], syn["chif"], t0=0.0,
+            x0=[syn["Mf"] + 0.02, syn["chif"] - 0.03])
+        # Noiseless synthetic: the true remnant minimises the mismatch.
+        assert eps < 1e-4
+        assert abs(Mf_bf - syn["Mf"]) < 1e-4
+        assert abs(chif_bf - syn["chif"]) < 1e-4
+
+    def test_recovers_true_remnant_multimode(self):
+        syn = synthetic_multimode(seed=13)
+        eps, Mf_bf, chif_bf = fitting.calculate_epsilon(
+            syn["times"], syn["data_dict"], syn["modes"],
+            syn["Mf"], syn["chif"], t0=0.0,
+            spherical_modes=syn["spherical_modes"],
+            x0=[syn["Mf"] - 0.015, syn["chif"] + 0.02])
+        assert eps < 1e-4
+
+    def test_gradient_vs_nelder_mead(self):
+        syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(2)],
+                               noise=1e-4, seed=14)
+        kw = dict(t0=0.0, x0=[0.97, 0.66])
+        eps_g, Mf_g, chif_g = fitting.calculate_epsilon(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], min_method="gradient", **kw)
+        eps_n, Mf_n, chif_n = fitting.calculate_epsilon(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], min_method="Nelder-Mead", **kw)
+        # Both should find the same (noise-shifted) minimum.
+        assert abs(Mf_g - Mf_n) < 1e-3
+        assert abs(chif_g - chif_n) < 1e-3
+
+
+class TestFreeFrequency:
+    def test_recovers_fundamental(self):
+        syn = synthetic_single(modes=[(2, 2, 0, 1)], seed=15)
+        w_true = syn["frequencies"][0]
+        w_fit = fitting.free_frequency_fit(
+            syn["times"], syn["data"], t0=0.0)
+        assert abs(w_fit - w_true) < 1e-6
+
+    def test_recovers_overtone_on_top_of_fixed(self):
+        syn = synthetic_single(modes=[(2, 2, 0, 1), (2, 2, 1, 1)], seed=16)
+        w_true = syn["frequencies"][1]
+        w_fit = fitting.free_frequency_fit(
+            syn["times"], syn["data"], t0=0.0,
+            modes=[(2, 2, 0, 1)], Mf=syn["Mf"], chif=syn["chif"])
+        assert abs(w_fit - w_true) < 1e-5

@@ -123,3 +123,44 @@ def test_spline_interpolation_accuracy(tables):
     pi = np.polyfit(tables.chi[ks], tables.omega[row][ks].imag, 3)
     w_poly = np.polyval(pr, chi_q) + 1j * np.polyval(pi, chi_q)
     assert abs(w_mid - w_poly) < 1e-10
+
+
+class TestMultiplets:
+    """l=2, n>=8 multiplet branches (Cook & Zalutskiy data in the
+    reference; computed by the in-house solver here)."""
+
+    def test_keys_present(self, q):
+        for m in (-2, -1, 0, 1, 2):
+            assert abs(q.omega(2, m, 8, 1, 0.5)) > 0
+        for m in (-2, -1, 1, 2):
+            assert abs(q.omega(2, m, 9, 1, 0.5)) > 0
+
+    def test_branches_split_from_special_point(self, q):
+        """Both (2,2) branches approach -2i as chi -> 0 and separate
+        like sqrt(chi)."""
+        w8_lo = q.omega(2, 2, 8, 1, 0.02)
+        w9_lo = q.omega(2, 2, 9, 1, 0.02)
+        assert abs(w8_lo + 2j) < 0.1
+        assert abs(w9_lo + 2j) < 0.1
+        assert abs(w8_lo - w9_lo) > 0.05
+        # n=8 is the less-damped branch.
+        assert w8_lo.imag > w9_lo.imag
+
+    def test_m0_pair_are_mirrors(self, q):
+        """(2,0,9) is the exact mirror image of (2,0,8)."""
+        w8 = q.omega(2, 0, 8, 1, 0.4)
+        w9 = q.omega(2, 0, 9, 1, 0.4)
+        assert abs(w9 + np.conj(w8)) < 1e-12
+
+    def test_ladder_monotone_damping(self, q):
+        """At moderate spin the (2,2) ladder is monotone in Im(omega)."""
+        chi = 0.6
+        ims = [q.omega(2, 2, n, 1, chi).imag for n in range(12)]
+        assert all(ims[k] > ims[k + 1] for k in range(11))
+
+    def test_extended_ladder_tracks(self, q):
+        """(2,2,10/11) continue smoothly to high spin."""
+        for n in (10, 11):
+            w_lo = q.omega(2, 2, n, 1, 0.05)
+            w_hi = q.omega(2, 2, n, 1, 0.9)
+            assert w_hi.real > w_lo.real   # prograde: Re grows with spin
