@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.chol import cholesky_solve_unrolled
+
 __all__ = ["fit_core_real", "sweep_t0_real", "split", "merge"]
 
 
@@ -60,11 +62,7 @@ def _embedded_solve(Gre, Gim, bre, bim):
     E = jnp.concatenate([top, bot], axis=-2)
     b = jnp.concatenate([bre * Di, bim * Di])
 
-    L = jnp.linalg.cholesky(E)
-    y = jax.lax.linalg.triangular_solve(L, b[:, None], lower=True,
-                                        left_side=True)[:, 0]
-    x = jax.lax.linalg.triangular_solve(L.T, y[:, None], lower=False,
-                                        left_side=True)[:, 0]
+    x = cholesky_solve_unrolled(E[None], b[None])[0]
     J = Gre.shape[-1]
     return x[:J] * Di, x[J:] * Di
 
@@ -287,12 +285,7 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
     Emb = jnp.concatenate([top, bot], axis=-2)           # (Bc, 2J, 2J)
     bvec = jnp.concatenate([rhs_re * Di, rhs_im * Di], axis=-1)
 
-    L = jnp.linalg.cholesky(Emb)
-    y = jax.lax.linalg.triangular_solve(L, bvec[..., None], lower=True,
-                                        left_side=True)[..., 0]
-    x = jax.lax.linalg.triangular_solve(
-        jnp.swapaxes(L, -1, -2), y[..., None], lower=False,
-        left_side=True)[..., 0]
+    x = cholesky_solve_unrolled(Emb, bvec)
     C0re = x[:, :J] * Di
     C0im = x[:, J:] * Di
 
@@ -347,6 +340,173 @@ def sweep_t0_modesets_factored_real(times, dre, dim, wrs, wis, mres, mims,
         wr, wi, mre, mim, mask = args
         return sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim,
                                       t0s, Ts, col_mask=mask, chunk=chunk)
+
+    return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
+                       batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-sum t0 sweep: O(J^2) per window instead of O(K J^2)
+# ---------------------------------------------------------------------------
+#
+# For 'geq' windows the masked sums are differences of suffix cumulative
+# sums: sum_{k0 <= k < k1} x_k = S(k0) - S(k1), S(k) = sum_{k' >= k} x_k'.
+# Suffix (not prefix) sums because every integrand decays in time (damped
+# modes, ringdown data): a suffix sum is dominated by its first retained
+# terms, so the subtraction loses no relative precision.  The trapezoid
+# (tau-weighted) sums reduce to suffix sums over segment contributions
+# 0.5 dt_k (x_k + x_{k+1}), exactly.
+#
+# Per chunk the cost drops from a (B,K)@(K,J^2) matmul to one cumsum over
+# K plus B gathers -- the sweep becomes solve-bound (batched 2Jx2J
+# Cholesky), not assembly-bound.
+
+def _suffix(x, axis=0):
+    """S[k] = sum_{k' >= k} x[k'], padded with a trailing zero row."""
+    rev = jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis=axis), axis)
+    pad_shape = list(x.shape)
+    pad_shape[axis] = 1
+    return jnp.concatenate([rev, jnp.zeros(pad_shape, x.dtype)], axis=axis)
+
+
+def _chunk_sweep_suffix(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
+                        col_mask):
+    """One chunk of start times, suffix-sum form (geq windows)."""
+    K = times.shape[0]
+    J = wr.shape[0]
+    I = dre.shape[0]
+    tref = t0c[0]
+
+    dt0 = jnp.maximum(times - tref, 0.0)
+    E = jnp.exp(wi[None, :] * dt0[:, None])
+    ph = wr[None, :] * dt0[:, None]
+    P0 = E * jnp.cos(ph)
+    Q0 = -E * jnp.sin(ph)
+
+    A1 = (P0[:, :, None] * P0[:, None, :]
+          + Q0[:, :, None] * Q0[:, None, :]).reshape(K, J * J)
+    A2 = (P0[:, :, None] * Q0[:, None, :]
+          - Q0[:, :, None] * P0[:, None, :]).reshape(K, J * J)
+    R1 = (P0[:, None, :] * dre.T[:, :, None]
+          + Q0[:, None, :] * dim.T[:, :, None]).reshape(K, I * J)
+    R2 = (P0[:, None, :] * dim.T[:, :, None]
+          - Q0[:, None, :] * dre.T[:, :, None]).reshape(K, I * J)
+    dd = jnp.sum(dre * dre + dim * dim, axis=0)[:, None]   # (K, 1)
+
+    # Plain-sum suffixes (K+1 rows, last zero).
+    X = jnp.concatenate([A1, A2, R1, R2, dd], axis=1)
+    S = _suffix(X)
+
+    # Segment (trapezoid) suffixes: seg_k = 0.5 dt_k (x_k + x_{k+1}).
+    dts = (times[1:] - times[:-1])[:, None]
+    seg = 0.5 * dts * (X[:-1] + X[1:])
+    Sseg = _suffix(seg)                                    # (K, cols)
+
+    # Window index bounds: [k0, k1) with t in [t0, t0+T).
+    k0 = jnp.searchsorted(times, t0c, side="left")
+    k1 = jnp.searchsorted(times, t0c + Tc, side="left")
+    k1s = jnp.maximum(k1 - 1, k0)      # last segment index + 1, clamped
+
+    W_sum = S[k0] - S[k1]                                  # (Bc, cols)
+    T_sum = Sseg[k0] - Sseg[k1s]
+
+    nJJ = J * J
+    nIJ = I * J
+    Gt_re = W_sum[:, :nJJ].reshape(-1, J, J)
+    Gt_im = W_sum[:, nJJ:2 * nJJ].reshape(-1, J, J)
+    pd_re = W_sum[:, 2 * nJJ:2 * nJJ + nIJ].reshape(-1, I, J)
+    pd_im = W_sum[:, 2 * nJJ + nIJ:2 * nJJ + 2 * nIJ].reshape(-1, I, J)
+    Gtau_re = T_sum[:, :nJJ].reshape(-1, J, J)
+    Gtau_im = T_sum[:, nJJ:2 * nJJ].reshape(-1, J, J)
+    pdt_re = T_sum[:, 2 * nJJ:2 * nJJ + nIJ].reshape(-1, I, J)
+    pdt_im = T_sum[:, 2 * nJJ + nIJ:2 * nJJ + 2 * nIJ].reshape(-1, I, J)
+    dnorm = T_sum[:, -1]
+
+    M_re = mre.T @ mre + mim.T @ mim
+    M_im = mre.T @ mim - mim.T @ mre
+    G_re = M_re[None] * Gt_re - M_im[None] * Gt_im
+    G_im = M_re[None] * Gt_im + M_im[None] * Gt_re
+    G2_re = M_re[None] * Gtau_re - M_im[None] * Gtau_im
+    G2_im = M_re[None] * Gtau_im + M_im[None] * Gtau_re
+
+    rhs_re = jnp.einsum("ij,bij->bj", mre, pd_re) \
+        + jnp.einsum("ij,bij->bj", mim, pd_im)
+    rhs_im = jnp.einsum("ij,bij->bj", mre, pd_im) \
+        - jnp.einsum("ij,bij->bj", mim, pd_re)
+    rt_re = jnp.einsum("ij,bij->bj", mre, pdt_re) \
+        + jnp.einsum("ij,bij->bj", mim, pdt_im)
+    rt_im = jnp.einsum("ij,bij->bj", mre, pdt_im) \
+        - jnp.einsum("ij,bij->bj", mim, pdt_re)
+
+    if col_mask is not None:
+        keep = jnp.asarray(col_mask)
+        kk = (keep[:, None] & keep[None, :])[None]
+        eye = jnp.eye(J, dtype=G_re.dtype)[None]
+        G_re = jnp.where(kk, G_re, eye)
+        G_im = jnp.where(kk, G_im, 0.0)
+        rhs_re = jnp.where(keep[None], rhs_re, 0.0)
+        rhs_im = jnp.where(keep[None], rhs_im, 0.0)
+
+    dgd = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(G_re, axis1=-2, axis2=-1),
+        jnp.finfo(G_re.dtype).tiny))
+    Di = 1.0 / dgd
+    A = G_re * Di[:, :, None] * Di[:, None, :]
+    Bm = G_im * Di[:, :, None] * Di[:, None, :]
+    top = jnp.concatenate([A, -Bm], axis=-1)
+    bot = jnp.concatenate([Bm, A], axis=-1)
+    Emb = jnp.concatenate([top, bot], axis=-2)
+    bvec = jnp.concatenate([rhs_re * Di, rhs_im * Di], axis=-1)
+
+    x = cholesky_solve_unrolled(Emb, bvec)
+    C0re = x[:, :J] * Di
+    C0im = x[:, J:] * Di
+
+    num = jnp.sum(C0re * rt_re + C0im * rt_im, axis=-1)
+    GC_re = jnp.einsum("bjl,bl->bj", G2_re, C0re) \
+        - jnp.einsum("bjl,bl->bj", G2_im, C0im)
+    GC_im = jnp.einsum("bjl,bl->bj", G2_re, C0im) \
+        + jnp.einsum("bjl,bl->bj", G2_im, C0re)
+    model_norm = jnp.sum(C0re * GC_re + C0im * GC_im, axis=-1)
+    mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+
+    delta = (t0c - tref)[:, None]
+    g = jnp.exp(wi[None, :] * delta)
+    cph = jnp.cos(wr[None, :] * delta)
+    sph = jnp.sin(wr[None, :] * delta)
+    Cre = g * (C0re * cph + C0im * sph)
+    Cim = g * (C0im * cph - C0re * sph)
+    return Cre, Cim, mm
+
+
+def sweep_t0_suffix_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                         col_mask=None, chunk: int = 64):
+    """Suffix-sum t0 sweep (geq windows); t0s sorted ascending."""
+    def one_chunk(args):
+        t0c, Tc = args
+        return _chunk_sweep_suffix(times, dre, dim, wr, wi, mre, mim,
+                                   t0c, Tc, col_mask)
+
+    B = t0s.shape[0]
+    pad = (-B) % chunk
+    if pad:
+        t0s = jnp.concatenate([t0s, jnp.full(pad, t0s[-1], t0s.dtype)])
+        Ts = jnp.concatenate([Ts, jnp.full(pad, Ts[-1], Ts.dtype)])
+    nc = t0s.shape[0] // chunk
+    Cre, Cim, mm = jax.lax.map(
+        one_chunk, (t0s.reshape(nc, chunk), Ts.reshape(nc, chunk)))
+    J = wr.shape[0]
+    return (Cre.reshape(-1, J)[:B], Cim.reshape(-1, J)[:B],
+            mm.reshape(-1)[:B])
+
+
+def sweep_t0_modesets_suffix_real(times, dre, dim, wrs, wis, mres, mims,
+                                  t0s, Ts, col_masks, chunk: int = 64):
+    """t0 x mode-set sweep on the suffix-sum kernel."""
+    def per_set(args):
+        wr, wi, mre, mim, mask = args
+        return sweep_t0_suffix_real(times, dre, dim, wr, wi, mre, mim,
+                                    t0s, Ts, col_mask=mask, chunk=chunk)
 
     return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
                        batch_size=1)

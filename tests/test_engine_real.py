@@ -138,3 +138,52 @@ def test_factored_sweep_with_padding(problem):
         jnp.asarray(wr0), jnp.asarray(wi0), jnp.asarray(mre0),
         jnp.asarray(mim0), jnp.asarray(t0s), jnp.asarray(Ts))
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mm0), atol=1e-12)
+
+
+def test_suffix_sweep_matches_direct(problem):
+    """The suffix-sum sweep must equal the direct per-window kernel."""
+    from qnmfits_tpu.engine_real import (
+        sweep_t0_real, sweep_t0_suffix_real)
+    times, data, omega, mu = problem
+    t0s = np.linspace(-3.0, 25.0, 11)
+    Ts = np.full_like(t0s, 80.0)
+    dre, dim = split(data)
+    wr, wi = split(omega)
+    mre, mim = split(mu)
+    args = [jnp.asarray(x) for x in
+            (times, dre, dim, wr, wi, mre, mim, t0s, Ts)]
+    C1re, C1im, mm1 = sweep_t0_real(*args)
+    C2re, C2im, mm2 = sweep_t0_suffix_real(*args, chunk=4)
+    np.testing.assert_allclose(np.asarray(mm2), np.asarray(mm1),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(merge(C2re, C2im), merge(C1re, C1im),
+                               atol=1e-8)
+
+
+def test_suffix_sweep_deep_ladder():
+    """Suffix sums must stay accurate for the ill-conditioned n<=7
+    ladder with late windows (the cancellation-sensitive case)."""
+    from qnmfits_tpu.engine import SpectrumEvaluator
+    from qnmfits_tpu.engine_real import sweep_t0_real, sweep_t0_suffix_real
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    modes = [(2, 2, n, 1) for n in range(8)]
+    syn = synthetic_multimode(modes=modes, spherical_modes=[(2, 2), (3, 2)],
+                              seed=21)
+    ev = SpectrumEvaluator(modes, syn["spherical_modes"])
+    omega = np.asarray(ev.omega(syn["chif"], syn["Mf"]))
+    mu = np.asarray(ev.mu(syn["chif"]))
+    data = np.stack([syn["data_dict"][lm] for lm in syn["spherical_modes"]])
+
+    t0s = np.linspace(20.0, 45.0, 8)   # late windows
+    Ts = np.full_like(t0s, 100.0)
+    dre, dim = split(data)
+    wr, wi = split(omega)
+    mre, mim = split(mu)
+    args = [jnp.asarray(x) for x in
+            (syn["times"].astype(float), dre, dim, wr, wi, mre, mim,
+             t0s, Ts)]
+    _, _, mm1 = sweep_t0_real(*args)
+    _, _, mm2 = sweep_t0_suffix_real(*args, chunk=8)
+    np.testing.assert_allclose(np.asarray(mm2), np.asarray(mm1),
+                               rtol=0, atol=1e-10)
