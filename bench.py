@@ -102,7 +102,11 @@ def main():
     times64 = times.astype(f64)
     t0s64, Ts64 = t0s.astype(f64), Ts.astype(f64)
 
-    fn = jax.jit(sweep_t0_modesets_factored_real)
+    # chunk=128: per-chunk t0 span is 12.8M here; the amplitude
+    # phase factor e^{|Im w| span} and the Gram diagonal e^{-2|Im w| span}
+    # must stay inside the float32 exponent range of the TPU's
+    # double-single f64 (|Im w| * 2 * span < ~80).
+    fn = jax.jit(lambda *a: sweep_t0_modesets_factored_real(*a, chunk=128))
     args = [jax.device_put(x, dev)
             for x in (times64, dre, dim_, wrs, wis, mres, mims,
                       t0s64, Ts64, masks)]

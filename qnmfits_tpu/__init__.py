@@ -58,6 +58,13 @@ from .fitting import (  # noqa: E402
     ringdown,
     ringdown_fit,
 )
+from .plotting import (  # noqa: E402
+    plot_mismatch_M_chi_grid,
+    plot_mismatch_omega_grid,
+    plot_mode_amplitudes,
+    plot_ringdown,
+    plot_ringdown_modes,
+)
 from .qnm_api import download_cook_data  # noqa: E402
 
 __version__ = "0.1.0"

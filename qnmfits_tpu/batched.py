@@ -201,3 +201,51 @@ def batch_mismatch_omega(times, data, modes, Mf, chif, re_minmax, im_minmax,
             float(t0), float(T))
     _, mm = fn(*args)
     return np.asarray(mm).reshape(res, res).T
+
+
+@lru_cache(maxsize=64)
+def _t0_sweep_dynamic_fn(modes, sph, t0_method, precision):
+    """t0 sweep with a time-dependent Kerr spectrum: omega(t), mu(t) are
+    evaluated once on the (Mf(t), chif(t)) arrays; each window is a
+    vmapped dynamic fit (reference loop: qnmfits.py:1286-1299)."""
+    from .engine import dynamic_fit_core
+
+    ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def run(times, data, Mf_t, chif_t, t0s, Ts):
+        omega_t = ev.omega(chif_t, Mf_t).T           # (K, J)
+        if sph is None:
+            mu_t = jnp.ones((1,) + omega_t.shape)
+        else:
+            mu_t = jnp.moveaxis(ev.mu(chif_t), -1, 1)  # (I, K, J)
+
+        def one(args):
+            t0, T = args
+            w = window(times, t0, T)
+            return dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
+                                    cdtype)
+
+        return jax.lax.map(one, (t0s, Ts), batch_size=16)
+
+    return jax.jit(run, device=_device_for(precision))
+
+
+def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
+                              t0_method="geq", T_array=100,
+                              spherical_modes=None, precision="x64",
+                              return_amplitudes=False):
+    """Dynamic-spectrum start-time sweep as one jitted program."""
+    times, rows, sph = _prep(times, data, spherical_modes)
+    K = len(times)
+    Mf_t = np.full(K, Mf) if np.ndim(Mf) == 0 else np.asarray(Mf, float)
+    chif_t = np.full(K, chif) if np.ndim(chif) == 0 \
+        else np.asarray(chif, float)
+    t0s = np.asarray(t0_array, float)
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+    fn = _t0_sweep_dynamic_fn(_canon(modes), sph, t0_method, precision)
+    C, mm = fn(times, rows, Mf_t, chif_t, t0s, Ts)
+    mm = np.asarray(mm)
+    return (mm, np.asarray(C)) if return_amplitudes else mm

@@ -253,6 +253,12 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
         return ref_impl.mismatch_t0_array(
             times, data, modes, Mf, chif, t0_array, t0_method, T_array,
             spherical_modes, delta)
+    if np.ndim(Mf) != 0 or np.ndim(chif) != 0:
+        from .batched import batch_mismatch_t0_dynamic
+        return batch_mismatch_t0_dynamic(
+            times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
+            T_array=T_array, spherical_modes=spherical_modes,
+            precision=precision)
     from .batched import batch_mismatch_t0
     return batch_mismatch_t0(
         times, data, modes, Mf, chif, t0_array, t0_method=t0_method,

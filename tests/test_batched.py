@@ -129,3 +129,36 @@ def test_padded_mode_set_amplitudes_zero(syn):
     np.testing.assert_allclose(C_p[:3], C_ref, atol=1e-12)
     assert np.all(np.asarray(C_p[3:]) == 0)
     assert abs(mm_p - mm_ref) < 1e-13
+
+
+def test_dynamic_t0_sweep_matches_loop():
+    from qnmfits_tpu.batched import batch_mismatch_t0_dynamic
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=1e-3, seed=31)
+    K = len(syn["times"])
+    Mf_t = np.linspace(0.97, 0.952, K)
+    chif_t = np.linspace(0.65, 0.692, K)
+    t0s = np.linspace(0.0, 15.0, 5)
+    mm_b = batch_mismatch_t0_dynamic(
+        syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
+        T_array=70.0)
+    mm_l = ref_impl.mismatch_t0_array(
+        syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
+        T_array=70.0)
+    np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+
+def test_dynamic_multimode_t0_sweep_matches_loop():
+    from qnmfits_tpu.batched import batch_mismatch_t0_dynamic
+    syn = synthetic_multimode(seed=32)
+    K = len(syn["times"])
+    Mf_t = np.linspace(0.97, 0.952, K)
+    chif_t = np.linspace(0.65, 0.692, K)
+    t0s = np.linspace(0.0, 12.0, 4)
+    mm_b = batch_mismatch_t0_dynamic(
+        syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, t0s,
+        spherical_modes=syn["spherical_modes"])
+    mm_l = ref_impl.mismatch_t0_array(
+        syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, t0s,
+        spherical_modes=syn["spherical_modes"])
+    np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)

@@ -141,3 +141,30 @@ def test_spatial_prediction_C_close_to_linear_limit():
     # Dominated by sY_{-2,4,4}: peak location should be close.
     y44 = sYlm(-2, 4, 4, th, 0.0)
     assert abs(np.argmax(np.abs(pat)) - np.argmax(np.abs(y44))) <= 2
+
+
+def test_qmu_B_with_scalar_tables():
+    """Qmu_B uses s=0 (scalar) mixing for its second factor
+    (reference spatial_mapping_functions.py:787-799)."""
+    idx = [(4, 4, 2, 2, 0, 1, 2, 2, 0, 1)]
+    val = spatial.Qmu_B(idx, 0.68, l_max=8)[0]
+    assert np.isfinite(val) and abs(val) > 1e-3
+    # At chi=0 both mixings are diagonal: B reduces to a single kappa.
+    val0 = spatial.Qmu_B(idx, 0.0, l_max=8)[0]
+    expect0 = spatial.kappa(4, 4, 2, 2, 2, 2, -2, 0)
+    assert abs(val0 - expect0) < 1e-10
+
+
+def test_mapping_fit_with_unmapped_quadratic(mapping_setup):
+    """A quadratic mode NOT being mapped is fit through the Qmu_B
+    mixing prediction (reference :202-210)."""
+    s = mapping_setup
+    extra_quad = (3, 3, 0, 1, 2, 2, 0, 1)
+    out = spatial.mapping_multimode_ringdown_fit(
+        s["times"], s["data"],
+        list(s["lin_modes"]) + [s["quad_mode"], extra_quad],
+        s["Mf"], s["chif"], t0=0.0, mapping_modes=[s["quad_mode"]],
+        T=100, spherical_modes=s["spherical_modes"])
+    # The data contains no (3,3,0)x(2,2,0) content: its amplitude should
+    # be tiny and the fit still near-perfect.
+    assert out["mismatch"] < 1e-10
