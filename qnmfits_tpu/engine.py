@@ -277,10 +277,24 @@ def _compiled_fit(setup: FitSetup):
 
 
 def _device_for(precision: str):
-    """x64 linear algebra is CPU-only (TPU lacks complex128)."""
-    if precision == "x64":
-        return jax.devices("cpu")[0]
-    try:
-        return jax.devices()[0]
-    except RuntimeError:
-        return jax.devices("cpu")[0]
+    """x64 linear algebra is CPU-only (TPU lacks complex128).
+
+    Backend discovery is retried: the tunneled TPU plugin can fail
+    transiently during (re)initialisation, which would otherwise poison
+    even CPU-device lookup.
+    """
+    import time as _time
+
+    last_err = None
+    for attempt in range(3):
+        try:
+            if precision == "x64":
+                return jax.devices("cpu")[0]
+            try:
+                return jax.devices()[0]
+            except RuntimeError:
+                return jax.devices("cpu")[0]
+        except RuntimeError as e:  # plugin mid-restart
+            last_err = e
+            _time.sleep(2.0 * (attempt + 1))
+    raise last_err
