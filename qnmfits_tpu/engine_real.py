@@ -47,21 +47,49 @@ def _trapz_weights(times, w):
     return jnp.concatenate([seg, zero]) + jnp.concatenate([zero, seg])
 
 
+def _regularised_embed(Gre, Gim, bre, bim):
+    """Equilibrate, auto-mask numerically dead columns, embed, floor.
+
+    Batched: Gre/Gim (..., J, J), bre/bim (..., J).  Columns whose Gram
+    diagonal underflows (heavily damped modes invisible in the window)
+    are replaced by identity rows (amplitude exactly zero), and a
+    machine-epsilon Tikhonov floor bounds the equilibrated condition
+    number -- the Gram-domain analogue of np.linalg.lstsq's rcond
+    truncation for kappa(A)^2 beyond Cholesky range.
+    """
+    J = Gre.shape[-1]
+    diag = jnp.diagonal(Gre, axis1=-2, axis2=-1)
+    eps = jnp.finfo(Gre.dtype).eps
+    dead = diag <= (jnp.max(diag, axis=-1, keepdims=True)
+                    * jnp.finfo(Gre.dtype).tiny * 1e8)
+    kk = dead[..., :, None] | dead[..., None, :]
+    eye = jnp.eye(J, dtype=Gre.dtype)
+    Gre = jnp.where(kk, eye, Gre)
+    Gim = jnp.where(kk, 0.0, Gim)
+    bre = jnp.where(dead, 0.0, bre)
+    bim = jnp.where(dead, 0.0, bim)
+
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Gre, axis1=-2, axis2=-1),
+                             jnp.finfo(Gre.dtype).tiny))
+    Di = 1.0 / d
+    A = Gre * Di[..., :, None] * Di[..., None, :]
+    B = Gim * Di[..., :, None] * Di[..., None, :]
+    floor = 500.0 * J * eps
+    A = A + floor * eye
+    top = jnp.concatenate([A, -B], axis=-1)
+    bot = jnp.concatenate([B, A], axis=-1)
+    E = jnp.concatenate([top, bot], axis=-2)
+    b = jnp.concatenate([bre * Di, bim * Di], axis=-1)
+    return E, b, Di
+
+
 def _embedded_solve(Gre, Gim, bre, bim):
     """Equilibrated Hermitian solve via the real 2x2 embedding.
 
     G = Gre + i Gim (Hermitian PD, (J, J)); b = bre + i bim (J,).
     Returns (xre, xim).
     """
-    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Gre), jnp.finfo(Gre.dtype).tiny))
-    Di = 1.0 / d
-    A = Gre * Di[:, None] * Di[None, :]
-    B = Gim * Di[:, None] * Di[None, :]
-    top = jnp.concatenate([A, -B], axis=-1)
-    bot = jnp.concatenate([B, A], axis=-1)
-    E = jnp.concatenate([top, bot], axis=-2)
-    b = jnp.concatenate([bre * Di, bim * Di])
-
+    E, b, Di = _regularised_embed(Gre, Gim, bre, bim)
     x = cholesky_solve_unrolled(E[None], b[None])[0]
     J = Gre.shape[-1]
     return x[:J] * Di, x[J:] * Di
@@ -274,17 +302,7 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         rhs_im = jnp.where(keep[None], rhs_im, 0.0)
 
     # Batched equilibrated real-embedded solve.
-    dgd = jnp.sqrt(jnp.maximum(
-        jnp.diagonal(G_re, axis1=-2, axis2=-1),
-        jnp.finfo(G_re.dtype).tiny))                     # (Bc, J)
-    Di = 1.0 / dgd
-    A = G_re * Di[:, :, None] * Di[:, None, :]
-    Bm = G_im * Di[:, :, None] * Di[:, None, :]
-    top = jnp.concatenate([A, -Bm], axis=-1)
-    bot = jnp.concatenate([Bm, A], axis=-1)
-    Emb = jnp.concatenate([top, bot], axis=-2)           # (Bc, 2J, 2J)
-    bvec = jnp.concatenate([rhs_re * Di, rhs_im * Di], axis=-1)
-
+    Emb, bvec, Di = _regularised_embed(G_re, G_im, rhs_re, rhs_im)
     x = cholesky_solve_unrolled(Emb, bvec)
     C0re = x[:, :J] * Di
     C0im = x[:, J:] * Di
@@ -447,17 +465,7 @@ def _chunk_sweep_suffix(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         rhs_re = jnp.where(keep[None], rhs_re, 0.0)
         rhs_im = jnp.where(keep[None], rhs_im, 0.0)
 
-    dgd = jnp.sqrt(jnp.maximum(
-        jnp.diagonal(G_re, axis1=-2, axis2=-1),
-        jnp.finfo(G_re.dtype).tiny))
-    Di = 1.0 / dgd
-    A = G_re * Di[:, :, None] * Di[:, None, :]
-    Bm = G_im * Di[:, :, None] * Di[:, None, :]
-    top = jnp.concatenate([A, -Bm], axis=-1)
-    bot = jnp.concatenate([Bm, A], axis=-1)
-    Emb = jnp.concatenate([top, bot], axis=-2)
-    bvec = jnp.concatenate([rhs_re * Di, rhs_im * Di], axis=-1)
-
+    Emb, bvec, Di = _regularised_embed(G_re, G_im, rhs_re, rhs_im)
     x = cholesky_solve_unrolled(Emb, bvec)
     C0re = x[:, :J] * Di
     C0im = x[:, J:] * Di

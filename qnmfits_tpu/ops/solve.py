@@ -62,13 +62,25 @@ def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
     complex64 (the TPU path) is solved through the 2x2 real embedding;
     complex128 (CPU parity path) uses the native complex Cholesky.
     """
-    d = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1)),
-                             jnp.finfo(rhs.real.dtype).tiny))
+    J = G.shape[-1]
+    diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
+    # Auto-mask numerically dead columns (underflowed heavily-damped
+    # modes) and floor the equilibrated spectrum -- the Gram-domain
+    # analogue of lstsq's rcond truncation (see engine_real).
+    dead = diag <= (jnp.max(diag, axis=-1, keepdims=True)
+                    * jnp.finfo(rhs.real.dtype).tiny * 1e8)
+    kk = dead[..., :, None] | dead[..., None, :]
+    eye = jnp.eye(J, dtype=G.dtype)
+    G = jnp.where(kk, eye, G)
+    rhs = jnp.where(dead, 0.0, rhs)
+    diag = jnp.real(jnp.diagonal(G, axis1=-2, axis2=-1))
+
+    d = jnp.sqrt(jnp.maximum(diag, jnp.finfo(rhs.real.dtype).tiny))
     Dinv = 1.0 / d
     Gs = G * Dinv[..., :, None] * Dinv[..., None, :]
-    if jitter_scale:
-        J = G.shape[-1]
-        Gs = Gs + jitter_scale * jnp.eye(J, dtype=G.dtype)
+    floor = jitter_scale if jitter_scale \
+        else 500.0 * J * jnp.finfo(rhs.real.dtype).eps
+    Gs = Gs + floor * eye
     bs = rhs * Dinv
 
     if G.dtype == jnp.complex64:

@@ -162,3 +162,33 @@ def test_dynamic_multimode_t0_sweep_matches_loop():
         syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, t0s,
         spherical_modes=syn["spherical_modes"])
     np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+
+def test_fast_t0_sweep_matches_loop(syn):
+    from qnmfits_tpu.batched import batch_mismatch_t0_fast
+    t0s = np.linspace(-5.0, 40.0, 12)
+    mm_f, C_f = batch_mismatch_t0_fast(
+        syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+        t0s, T_array=60.0, return_amplitudes=True)
+    mm_l = ref_impl.mismatch_t0_array(
+        syn["times"], syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+        t0s, T_array=60.0)
+    np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
+    # amplitudes too
+    out = ref_impl.ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                                syn["Mf"], syn["chif"], t0=t0s[3], T=60.0)
+    np.testing.assert_allclose(C_f[3], out["C"], atol=1e-9)
+
+
+def test_fast_t0_sweep_multimode(syn_mm):
+    from qnmfits_tpu.batched import batch_mismatch_t0_fast
+    t0s = np.linspace(0.0, 30.0, 7)
+    mm_f = batch_mismatch_t0_fast(
+        syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+        syn_mm["Mf"], syn_mm["chif"], t0s,
+        spherical_modes=syn_mm["spherical_modes"])
+    mm_l = ref_impl.mismatch_t0_array(
+        syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+        syn_mm["Mf"], syn_mm["chif"], t0s,
+        spherical_modes=syn_mm["spherical_modes"])
+    np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
