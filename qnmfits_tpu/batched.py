@@ -94,7 +94,7 @@ def _t0_sweep_fn(modes, sph, t0_method, precision):
         return sweep_t0_core(times, data, omega, mu, t0s, Ts, t0_method,
                              cdtype)
 
-    return jax.jit(run, device=_device_for(precision))
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=128)
@@ -115,7 +115,7 @@ def _mchi_sweep_fn(modes, sph, t0_method, precision):
 
         return jax.lax.map(one, (Mfs, chifs), batch_size=_CHUNK)
 
-    return jax.jit(run, device=_device_for(precision))
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=128)
@@ -136,7 +136,12 @@ def _omega_sweep_fn(modes, t0_method, precision):
 
         return jax.lax.map(one, omega_free, batch_size=_CHUNK)
 
-    return jax.jit(run, device=_device_for(precision))
+    return jax.jit(run)
+
+
+def _put(args, precision):
+    dev = _device_for(precision)
+    return [jax.device_put(np.asarray(a), dev) for a in args]
 
 
 def _prep(times, data, spherical_modes):
@@ -165,8 +170,8 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
             "dynamic-spectrum t0 sweeps: use engine='loop' for now")
     fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
-    C, mm = fn(times, rows, float(Mf), float(chif),
-               t0s, np.ascontiguousarray(Ts), df)
+    C, mm = fn(*_put((times, rows, float(Mf), float(chif), t0s,
+                      np.ascontiguousarray(Ts), df), precision))
     mm = np.asarray(mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm
 
@@ -182,7 +187,8 @@ def batch_mismatch_M_chi(times, data, modes, Mf_minmax, chif_minmax, t0,
     MM, CC = np.meshgrid(Mf_array, chif_array, indexing="ij")
     fn = _mchi_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
-    _, mm = fn(times, rows, MM.ravel(), CC.ravel(), float(t0), float(T), df)
+    _, mm = fn(*_put((times, rows, MM.ravel(), CC.ravel(), float(t0),
+                      float(T), df), precision))
     return np.asarray(mm).reshape(res, res)
 
 
@@ -197,9 +203,9 @@ def batch_mismatch_omega(times, data, modes, Mf, chif, re_minmax, im_minmax,
     RE, IM = np.meshgrid(re, im, indexing="ij")
     wf = (RE + 1j * IM).ravel()
     fn = _omega_sweep_fn(_canon(modes), t0_method, precision)
-    args = (times, rows, float(Mf) if Mf is not None else 1.0,
-            float(chif) if chif is not None else 0.0, wf,
-            float(t0), float(T))
+    args = _put((times, rows, float(Mf) if Mf is not None else 1.0,
+                 float(chif) if chif is not None else 0.0, wf,
+                 float(t0), float(T)), precision)
     _, mm = fn(*args)
     return np.asarray(mm).reshape(res, res).T
 
@@ -230,7 +236,7 @@ def _t0_sweep_dynamic_fn(modes, sph, t0_method, precision):
 
         return jax.lax.map(one, (t0s, Ts), batch_size=16)
 
-    return jax.jit(run, device=_device_for(precision))
+    return jax.jit(run)
 
 
 def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
@@ -247,7 +253,7 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
     fn = _t0_sweep_dynamic_fn(_canon(modes), sph, t0_method, precision)
-    C, mm = fn(times, rows, Mf_t, chif_t, t0s, Ts)
+    C, mm = fn(*_put((times, rows, Mf_t, chif_t, t0s, Ts), precision))
     mm = np.asarray(mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm
 

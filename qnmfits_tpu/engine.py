@@ -21,9 +21,6 @@ TPU-speed sweeps and 'x64' for reference-grade numbers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import lru_cache, partial
-
 import numpy as np
 
 import jax
@@ -35,7 +32,7 @@ from .ops.windows import trapz_weights, window_closest, window_geq
 from .spectrum.tables import ModeIndexSet, SpectrumTables, default_tables
 
 __all__ = [
-    "SpectrumEvaluator", "fit_core", "dynamic_fit_core", "FitSetup",
+    "SpectrumEvaluator", "fit_core", "dynamic_fit_core",
 ]
 
 
@@ -238,42 +235,6 @@ def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
     data_norm = jnp.real(jnp.sum(tau[None, :] * data * jnp.conj(data)))
     mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
     return C, mm
-
-
-# ---------------------------------------------------------------------------
-# Jit-cached eager entry points
-# ---------------------------------------------------------------------------
-
-@dataclass(frozen=True)
-class FitSetup:
-    """Hashable static configuration for jit caching."""
-    modes: tuple
-    spherical_modes: tuple | None
-    t0_method: str
-    precision: str  # 'x64' | 'x32'
-
-    @property
-    def cdtype(self):
-        return jnp.complex128 if self.precision == "x64" else jnp.complex64
-
-
-@lru_cache(maxsize=256)
-def _compiled_fit(setup: FitSetup):
-    ev = SpectrumEvaluator(
-        list(setup.modes),
-        list(setup.spherical_modes) if setup.spherical_modes else None)
-
-    def run(times, data, Mf, chif, t0, T, delta_factor):
-        w = _window(times, t0, T, setup.t0_method)
-        omega = ev.omega(chif, Mf, delta_factor)
-        if setup.spherical_modes is None:
-            mu = jnp.ones((1, omega.shape[0]))
-        else:
-            mu = ev.mu(chif)
-        return fit_core(times, data, omega, mu, t0, w, setup.cdtype)
-
-    device = _device_for(setup.precision)
-    return ev, jax.jit(run, device=device)
 
 
 def _device_for(precision: str):

@@ -99,7 +99,7 @@ def _svd_fit_fn(modes, spherical_modes, t0_method, precision, dynamic):
         model = (blocks.reshape(I * K, J) @ C).reshape(I, K)
         return C, res, rank, sv, model, omega, mu, w
 
-    return ev, jax.jit(run, device=_device_for(precision))
+    return ev, jax.jit(run)
 
 
 def _masked_to_np(arr, w):

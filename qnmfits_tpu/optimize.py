@@ -43,8 +43,7 @@ def _epsilon_objective(modes, sph, t0_method, delta):
         _, mm = fit_core(times, data, omega, mu, t0, w, jnp.complex128)
         return mm
 
-    return jax.jit(jax.value_and_grad(mm_fn),
-                   device=_device_for("x64"))
+    return jax.jit(jax.value_and_grad(mm_fn))
 
 
 def calculate_epsilon_gradient(times, data, modes, Mf, chif, t0,
@@ -105,8 +104,7 @@ def _free_freq_objective(modes, t0_method):
         _, mm = fit_core(times, data, omega, mu, t0, w, jnp.complex128)
         return mm
 
-    return jax.jit(jax.value_and_grad(mm_fn),
-                   device=_device_for("x64"))
+    return jax.jit(jax.value_and_grad(mm_fn))
 
 
 def free_frequency_fit_gradient(times, data, t0, modes=[], Mf=None,

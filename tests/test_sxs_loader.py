@@ -1,0 +1,96 @@
+"""SXS loader test against a synthetic local cache in catalog format."""
+
+import json
+
+import h5py
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_catalog(tmp_path_factory):
+    """Build an SXS-format cache entry: metadata.json + rhOverM h5 with
+    Extrapolated_N2.dir/Y_l{l}_m{m}.dat datasets."""
+    from qnmfits_tpu.ref_impl import get_qnm
+
+    root = tmp_path_factory.mktemp("sxs_cache")
+    sim = root / "SXS_BBH_9999" / "Lev4"
+    sim.mkdir(parents=True)
+
+    Mf, chif_mag = 0.952, 0.692
+    md = {
+        "simulation_name": "SXS:BBH:9999/Lev4",
+        "reference_time": 200.0,
+        "reference_mass1": 0.5556,
+        "reference_mass2": 0.4444,
+        "reference_dimensionless_spin1": [0.0, 0.0, 0.33],
+        "reference_dimensionless_spin2": [0.0, 0.0, -0.44],
+        "reference_position1": [5.0, 0.1, 0.0],
+        "reference_position2": [-6.0, -0.1, 0.0],
+        "reference_orbital_frequency": [0.0, 0.0, 0.017],
+        "common_horizon_time": 3812.0,
+        "number_of_orbits": 5.2,
+        "remnant_mass": Mf,
+        "remnant_dimensionless_spin": [0.0, 0.0, chif_mag],
+        "remnant_velocity": [1e-4, -2e-4, 3e-5],
+    }
+    (sim / "metadata.json").write_text(json.dumps(md))
+
+    # Inspiral-like chirp smoothly joined to a table-accurate ringdown.
+    times = np.arange(0.0, 500.0, 0.2)
+    t_peak = 380.0
+    q = get_qnm()
+    rng = np.random.default_rng(99)
+    with h5py.File(sim / "rhOverM_Asymptotic_GeometricUnits_CoM.h5",
+                   "w") as f:
+        grp = f.create_group("Extrapolated_N2.dir")
+        for l in (2, 3):
+            for m in range(-l, l + 1):
+                if (l, abs(m)) in ((2, 2), (3, 2)) and m != 0:
+                    w = q.omega(l, abs(m), 0, 1 if m > 0 else -1,
+                                chif_mag, Mf)
+                    amp = 0.3 * np.exp(-((times - t_peak) / 60.0) ** 2)
+                    phase = 0.2 * (times - t_peak)
+                    h = amp * np.exp(-1j * np.sign(m) * 2 * phase)
+                    late = times >= t_peak
+                    h[late] = h[late.argmax()] \
+                        * np.exp(-1j * w * (times[late] - t_peak))
+                else:
+                    h = np.zeros(len(times), complex)
+                grp.create_dataset(
+                    f"Y_l{l}_m{m}.dat",
+                    data=np.stack([times, h.real, h.imag], axis=1))
+    return root
+
+
+def test_sxs_load_from_cache(fake_catalog, monkeypatch):
+    monkeypatch.setenv("SXS_CACHE_DIR", str(fake_catalog))
+    from qnmfits_tpu.waveforms import SXS
+
+    wf = SXS(9999, zero_time=(2, 2))
+    assert wf.Mf == 0.952
+    assert abs(wf.chif_mag - 0.692) < 1e-12
+    assert wf.ellMax == 3
+    assert wf.q == pytest.approx(0.5556 / 0.4444)
+    # zero_time=(2,2): the mode peak sits at t=0 after the shift.
+    peak_idx = np.argmax(np.abs(wf.h[2, 2]))
+    assert abs(wf.times[peak_idx]) < 0.5
+    # Fluxes and remnant evolution computed.
+    assert wf.Moft[-1] == pytest.approx(wf.Mf, abs=1e-12)
+    assert np.isfinite(wf.chioft_mag).all()
+    # Derived metadata present.
+    assert np.isfinite(wf.chi_eff)
+    assert np.isfinite(wf.chip)
+
+
+def test_sxs_ringdown_fit_roundtrip(fake_catalog, monkeypatch):
+    """End-to-end: load from cache, fit the post-peak (2,2) ringdown."""
+    monkeypatch.setenv("SXS_CACHE_DIR", str(fake_catalog))
+    from qnmfits_tpu import ringdown_fit
+    from qnmfits_tpu.waveforms import SXS
+
+    wf = SXS(9999, zero_time=(2, 2))
+    out = ringdown_fit(wf.times, wf.h[2, 2], [(2, 2, 0, 1)],
+                       wf.Mf, wf.chif_mag, t0=5.0, T=80)
+    # Post-peak data is a pure (2,2,0) damped sinusoid by construction.
+    assert out["mismatch"] < 1e-8
