@@ -183,11 +183,23 @@ def multiplet_tracks(m: int, chi_grid: np.ndarray, s: int = -2,
                        if abs(r - _SPECIAL) < 0.2 and r.real > 0],
                       key=lambda r: -r.imag)
 
-    ladder = find_roots_near(m, 0.06 - 2.56j, chi0, s=s, n_inv=10,
-                             spread=0.15, ngrid=3)
-    ladder = sorted([r for r in ladder
-                     if r.real > 0 and -2.95 < r.imag < -2.2],
-                    key=lambda r: -r.imag)[:3]   # ~-2.31, -2.56, -2.82
+    # Walk the package ladder downward: overtones past the special point
+    # are ~0.25i apart; search around each predicted position.
+    ladder = []
+    center = 0.065 - 2.31j
+    for step in range(7):            # down to ~ -3.8i (reference n<=16)
+        n_inv = 9 + step
+        found = find_roots_near(m, center, chi0, s=s, n_inv=n_inv,
+                                spread=0.13, ngrid=3)
+        cand = [r for r in found if r.real > 0
+                and abs(r - center) < 0.2
+                and all(abs(r - p) > 0.05 for p in ladder)]
+        if not cand:
+            break
+        root = min(cand, key=lambda r: abs(r - center))
+        ladder.append(root)
+        center = root + (root - (ladder[-2] if len(ladder) > 1
+                                 else root + 0.25j))
 
     out = {}
 
@@ -214,7 +226,7 @@ def multiplet_tracks(m: int, chi_grid: np.ndarray, s: int = -2,
                 f"expected 2 multiplet roots for m={m}, got {near_pos}")
         _trk(8, near_pos[0], 8)
         _trk(9, near_pos[1], 8)
-        for k, r in enumerate(ladder[:2]):
+        for k, r in enumerate(ladder):
             _trk(10 + k, r, 9 + k, required=False)
     elif m == 0:
         if not near_pos:
@@ -226,12 +238,12 @@ def multiplet_tracks(m: int, chi_grid: np.ndarray, s: int = -2,
         lp = np.arange(C8.shape[1]) + l0
         flip = (-1.0) ** (2 + lp)
         out[9] = (-np.conj(w8), np.conj(A8), flip[None, :] * np.conj(C8))
-        for k, r in enumerate(ladder[:2]):
+        for k, r in enumerate(ladder):
             _trk(10 + k, r, 9 + k, required=False)
     else:
         if not near_pos:
             raise RuntimeError(f"no near-special root for m={m}")
         _trk(8, near_pos[0], 8)
-        for k, r in enumerate(ladder[:3]):
+        for k, r in enumerate(ladder):
             _trk(9 + k, r, 9 + k, required=False)
     return out

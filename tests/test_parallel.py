@@ -1,0 +1,91 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return devs[:8]
+
+
+@pytest.fixture(scope="module")
+def problem():
+    from qnmfits_tpu.engine import SpectrumEvaluator
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    syn = synthetic_multimode(seed=41)
+    ev = SpectrumEvaluator(syn["modes"], syn["spherical_modes"])
+    omega = np.asarray(ev.omega(syn["chif"], syn["Mf"]))
+    mu = np.asarray(ev.mu(syn["chif"]))
+    data = np.stack([syn["data_dict"][lm] for lm in syn["spherical_modes"]])
+    data = data + 1e-3 * np.exp(-0.05 * np.abs(syn["times"]))
+    # Times length divisible by mesh time axes used below.
+    K = (len(syn["times"]) // 8) * 8
+    f64 = np.float64
+    return (syn["times"][:K].astype(f64),
+            data.real[:, :K].astype(f64), data.imag[:, :K].astype(f64),
+            omega.real.astype(f64), omega.imag.astype(f64),
+            mu.real.astype(f64), mu.imag.astype(f64))
+
+
+def test_sharded_t0_sweep_matches_single_device(cpu_devices, problem):
+    """DP over start times: sharded result == unsharded result."""
+    from qnmfits_tpu.engine_real import sweep_t0_real
+    from qnmfits_tpu.parallel.mesh import sharded_t0_sweep_real, sweep_mesh
+
+    import jax.numpy as jnp
+
+    mesh = sweep_mesh(n_sweep=4, n_time=1, devices=cpu_devices[:4])
+    t0s = np.linspace(0.0, 20.0, 10)   # not divisible by 4: tests padding
+    Ts = np.full_like(t0s, 60.0)
+
+    Cre_s, Cim_s, mm_s = sharded_t0_sweep_real(*problem, t0s, Ts,
+                                               mesh=mesh)
+    args = [jnp.asarray(x) for x in problem] + [jnp.asarray(t0s),
+                                                jnp.asarray(Ts)]
+    Cre_1, Cim_1, mm_1 = sweep_t0_real(*args)
+    np.testing.assert_allclose(np.asarray(mm_s), np.asarray(mm_1),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Cre_s), np.asarray(Cre_1),
+                               atol=1e-10)
+
+
+def test_time_sharded_fit_matches_single_device(cpu_devices, problem):
+    """Sequence-parallel analogue: K-sharded psum Gram == unsharded."""
+    from qnmfits_tpu.engine_real import fit_core_real
+    from qnmfits_tpu.parallel.mesh import sharded_fit_core_real, sweep_mesh
+
+    import jax.numpy as jnp
+
+    times = problem[0]
+    t0, T = 3.0, 60.0
+    w = ((times >= t0) & (times < t0 + T)).astype(times.dtype)
+
+    for n_time in (2, 4):
+        mesh = sweep_mesh(n_sweep=8 // n_time, n_time=n_time,
+                          devices=cpu_devices)
+        Cre_s, Cim_s, mm_s = sharded_fit_core_real(
+            *problem, np.float64(t0), w, mesh=mesh)
+        args = [jnp.asarray(x) for x in problem]
+        Cre_1, Cim_1, mm_1 = fit_core_real(*args, t0, jnp.asarray(w))
+        assert abs(float(mm_s) - float(mm_1)) < 1e-12, n_time
+        np.testing.assert_allclose(np.asarray(Cre_s), np.asarray(Cre_1),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Cim_s), np.asarray(Cim_1),
+                                   atol=1e-10)
+
+
+def test_dryrun_multichip_entrypoint(cpu_devices):
+    """The driver-facing dry run must pass on the virtual mesh."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)

@@ -113,3 +113,16 @@ class TestRotation:
         sig = ringdown_waveform.project_signal(0.5, 1.0)
         assert sig.shape == ringdown_waveform.times.shape
         assert np.iscomplexobj(sig)
+
+
+def test_foft_zero_crossings(ringdown_waveform):
+    """Zero-crossings frequency estimator (reference Base.py:312-349)."""
+    wf = ringdown_waveform
+    wf.calculate_foft(method="zero_crossings")
+    from qnmfits_tpu.ref_impl import get_qnm
+    w220 = get_qnm().omega(2, 2, 0, 1, wf.chif_mag, wf.Mf)
+    plus = wf.foft[2, 2]["plus"]       # columns (mid-times, frequency)
+    mid = plus[len(plus) // 2, 1]
+    assert abs(mid - abs(w220.real) / (2 * np.pi)) < 2e-3
+    # restore default method for other tests
+    wf.calculate_foft()
