@@ -18,7 +18,28 @@ Public API mirrors the reference package: `qnm` (spectrum instance),
 fitting/sweep functions, waveform classes.
 """
 
+import os as _os
+
+# Keep the CPU backend reachable even when JAX_PLATFORMS pins an
+# accelerator plugin: the x64 parity path always runs on CPU (TPUs have
+# no complex128), and with an explicit platform list jax registers ONLY
+# the listed backends -- jax.devices("cpu") would fail even when the
+# accelerator works.  The first-listed platform stays the default, so
+# appending ",cpu" never changes where compute runs.  (A plugin that
+# fails to initialise is additionally dropped from the list at device
+# lookup -- see engine._drop_failed_platform.)  Effective only if no JAX
+# backend has been initialised yet (jax reads the list lazily).
+_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _platforms and "cpu" not in _platforms.split(","):
+    _os.environ["JAX_PLATFORMS"] = _platforms + ",cpu"
+
 import jax as _jax
+
+if _platforms and "cpu" not in _platforms.split(","):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backends already initialised
+        pass
 
 # Reference numerics are float64 end-to-end; x64 mode is required for the
 # parity path (runs on CPU -- TPUs have no complex128).  The TPU fast
@@ -31,8 +52,6 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compilation cache: axon TPU first-compiles are very slow
 # (minutes); caching makes repeat runs (tests, benchmarks) fast.
-import os as _os
-
 _cache_dir = _os.environ.get(
     "QNMFITS_TPU_COMP_CACHE",
     _os.path.expanduser("~/.cache/qnmfits_tpu/xla"))

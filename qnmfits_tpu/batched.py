@@ -166,8 +166,15 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
     t0s = np.asarray(t0_array, float)
     Ts = np.broadcast_to(np.asarray(T_array, float), t0s.shape)
     if np.ndim(Mf) != 0 or np.ndim(chif) != 0:
-        raise NotImplementedError(
-            "dynamic-spectrum t0 sweeps: use engine='loop' for now")
+        # Time-dependent spectrum: route to the dynamic kernel (the
+        # reference's dynamic fits take no delta, qnmfits.py:318-475).
+        if np.any(np.asarray(delta)):
+            raise ValueError("delta is not supported for dynamic-spectrum "
+                             "fits (time-dependent Mf/chif)")
+        return batch_mismatch_t0_dynamic(
+            times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
+            T_array=T_array, spherical_modes=spherical_modes,
+            precision=precision, return_amplitudes=return_amplitudes)
     fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
     C, mm = fn(*_put((times, rows, float(Mf), float(chif), t0s,
@@ -314,7 +321,8 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
     df = np.asarray(_delta_factor(delta, len(modes)))
     ev_full = SpectrumEvaluator(list(_canon(modes)),
                                 list(sph) if sph else None)
-    with jax.default_device(jax.devices("cpu")[0]):
+    from .engine import cpu_device
+    with jax.default_device(cpu_device()):
         omega = np.asarray(ev_full.omega(float(chif), float(Mf), df))
         mu = (np.ones((1, omega.shape[0]), complex) if sph is None
               else np.asarray(ev_full.mu(float(chif))))

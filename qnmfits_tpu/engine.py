@@ -237,17 +237,54 @@ def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
     return C, mm
 
 
+def cpu_device():
+    """The CPU device, recovering from a broken accelerator plugin."""
+    return _device_for("x64")
+
+
+def _drop_failed_platform(err: Exception) -> bool:
+    """Remove a platform that failed to initialise from jax_platforms.
+
+    When JAX_PLATFORMS explicitly lists platforms, jax fails loudly for
+    the whole list if any listed backend cannot initialise -- poisoning
+    even jax.devices("cpu").  A failed initialisation is not cached, so
+    updating the platform list and retrying recovers.  Returns True if
+    the list was changed.
+    """
+    import re
+
+    m = re.search(r"[Uu]nable to initialize backend '([^']+)'", str(err))
+    raw = jax.config.jax_platforms  # holder object or plain str by version
+    listed = getattr(raw, "value", raw) or ""
+    if not m or not listed:
+        return False
+    keep = [p for p in listed.split(",") if p and p != m.group(1)]
+    if "cpu" not in keep:
+        keep.append("cpu")
+    new = ",".join(keep)
+    if new == listed:
+        return False
+    import warnings
+
+    warnings.warn(
+        f"JAX backend '{m.group(1)}' failed to initialise; continuing "
+        f"with platforms '{new}' ({err})", RuntimeWarning, stacklevel=3)
+    jax.config.update("jax_platforms", new)
+    return True
+
+
 def _device_for(precision: str):
     """x64 linear algebra is CPU-only (TPU lacks complex128).
 
-    Backend discovery is retried: the tunneled TPU plugin can fail
-    transiently during (re)initialisation, which would otherwise poison
-    even CPU-device lookup.
+    Backend discovery degrades instead of crashing: a platform that
+    fails to initialise is dropped from the explicit JAX_PLATFORMS list
+    (falling back to CPU), and transient tunneled-plugin failures are
+    retried.
     """
     import time as _time
 
     last_err = None
-    for attempt in range(3):
+    for attempt in range(4):
         try:
             if precision == "x64":
                 return jax.devices("cpu")[0]
@@ -255,7 +292,8 @@ def _device_for(precision: str):
                 return jax.devices()[0]
             except RuntimeError:
                 return jax.devices("cpu")[0]
-        except RuntimeError as e:  # plugin mid-restart
+        except RuntimeError as e:
             last_err = e
-            _time.sleep(2.0 * (attempt + 1))
+            if not _drop_failed_platform(e):  # plugin mid-restart
+                _time.sleep(2.0 * (attempt + 1))
     raise last_err

@@ -82,7 +82,9 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
         from .multiplets import multiplet_tracks
         for m in range(-2, 3):
             t0 = time.time()
-            cache = cache_dir / f"s{s}_l2ext_m{m}_P{n_chi}.npz"
+            # v2: ladder walked to n<=20 (reference even_more_overtones
+            # envelope); the v1 cache (n<=16) is superseded.
+            cache = cache_dir / f"s{s}_l2ext_m{m}_n20_P{n_chi}.npz"
             if cache.exists():
                 zc = np.load(cache)
                 tracks = {int(n): (zc[f"w{n}"], zc[f"A{n}"], zc[f"C{n}"])

@@ -187,7 +187,7 @@ def multiplet_tracks(m: int, chi_grid: np.ndarray, s: int = -2,
     # are ~0.25i apart; search around each predicted position.
     ladder = []
     center = 0.065 - 2.31j
-    for step in range(7):            # down to ~ -3.8i (reference n<=16)
+    for step in range(11):           # down to ~ -4.9i (reference n<=20)
         n_inv = 9 + step
         found = find_roots_near(m, center, chi0, s=s, n_inv=n_inv,
                                 spread=0.13, ngrid=3)

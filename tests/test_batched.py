@@ -192,3 +192,26 @@ def test_fast_t0_sweep_multimode(syn_mm):
         syn_mm["Mf"], syn_mm["chif"], t0s,
         spherical_modes=syn_mm["spherical_modes"])
     np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
+
+
+def test_batch_mismatch_t0_routes_dynamic():
+    """batch_mismatch_t0 with array Mf/chif must route to the dynamic
+    kernel instead of raising (the former documented API hole)."""
+    from qnmfits_tpu.batched import batch_mismatch_t0
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=1e-3, seed=33)
+    K = len(syn["times"])
+    Mf_t = np.linspace(0.97, 0.952, K)
+    chif_t = np.linspace(0.65, 0.692, K)
+    t0s = np.linspace(0.0, 15.0, 4)
+    mm_b = batch_mismatch_t0(
+        syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
+        T_array=70.0)
+    mm_l = ref_impl.mismatch_t0_array(
+        syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
+        T_array=70.0)
+    np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+    with pytest.raises(ValueError, match="delta"):
+        batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
+            T_array=70.0, delta=0.01)
