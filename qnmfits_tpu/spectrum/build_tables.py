@@ -51,8 +51,9 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
     cache_dir.mkdir(parents=True, exist_ok=True)
 
     # All m in [-l, l] are solved directly: m < 0 is the retrograde
-    # branch (Re > 0), not a symmetry image of m > 0.
-    for l in range(2, l_max + 1):
+    # branch (Re > 0), not a symmetry image of m > 0.  The ladder starts
+    # at l = |s| (l >= 0 for scalar s=0, l >= 2 gravitational).
+    for l in range(abs(s), l_max + 1):
         for m in range(-l, l + 1):
             for n in range(0, n_max + 1):
                 t0 = time.time()

@@ -212,6 +212,7 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
     w_prev = omega0          # M=1 units
     A_prev = complex(l * (l + 1) - s * (s + 1))
     chi_prev = 0.0
+    coarse_fail = None
     for j, gi in enumerate(coarse_idx):
         chi = chi_grid[gi]
         # Predictor: linear extrapolation from previous two coarse points.
@@ -223,10 +224,33 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
             A_guess = A_coarse[j - 1]
         else:
             w_guess, A_guess = w_prev, A_prev
-        w_coarse[j], A_coarse[j] = _solve_point(chi, w_guess, A_guess,
-                                                chi_prev)
+        try:
+            w_coarse[j], A_coarse[j] = _solve_point(chi, w_guess, A_guess,
+                                                    chi_prev)
+        except RuntimeError:
+            # Deep-overtone tracks can defeat the CF very close to
+            # extremal spin; fill the remainder by extrapolation (same
+            # policy as the l=2 extended-ladder tracks -- the reference's
+            # own optimisers clamp chif at 0.99, qnmfits.py:1534-1537).
+            if chi < 0.985 or j < 4:
+                raise
+            coarse_fail = j
+            break
         w_prev, A_prev = w_coarse[j], A_coarse[j]
         chi_prev = chi
+
+    chi_reliable = np.inf
+    if coarse_fail is not None:
+        cidx = np.asarray(coarse_idx)
+        fit = np.arange(max(0, coarse_fail - 6), coarse_fail)
+        xs = chi_grid[cidx[fit]]
+        for arr in (w_coarse, A_coarse):
+            cr = np.polyfit(xs, arr[fit].real, 2)
+            ci = np.polyfit(xs, arr[fit].imag, 2)
+            xf = chi_grid[cidx[coarse_fail:]]
+            arr[coarse_fail:] = (np.polyval(cr, xf)
+                                 + 1j * np.polyval(ci, xf))
+        chi_reliable = chi_grid[cidx[coarse_fail - 1]]
 
     # ---- fine pass: lockstep Newton across the whole grid ---------------
     w_fine = np.interp(chi_grid, chi_grid[coarse_idx], w_coarse.real) \
@@ -253,10 +277,16 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
     # we exploit that radial_cf broadcasts omega/A, and generalise over a
     # by evaluating coefficients per point.  Simplest correct approach:
     # vectorise over the grid by inlining a vector `a`.
+    # Grid points beyond the last reliably-solved coarse spin are filled
+    # from the extrapolated track (no Newton -- the CF has no usable root
+    # there); their mixing vectors still come from the exact angular
+    # eigenproblem at the extrapolated omega.
+    extrap = chi_grid > chi_reliable
+
     tiers = sorted(set(int(2 ** np.ceil(np.log2(nr))) for nr in N_req))
     tier_of = np.array([int(2 ** np.ceil(np.log2(nr))) for nr in N_req])
     for Nt in tiers:
-        sel = np.where(tier_of == Nt)[0]
+        sel = np.where((tier_of == Nt) & ~extrap)[0]
         if sel.size == 0:
             continue
         w, A, C, ok = _newton_coupled_vec_a(
@@ -274,12 +304,30 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
             w[bad], A[bad], C[bad] = w_b, A_b, C_b
             ok[bad] = ok_b
         if not ok.all():
+            # Near-extremal stragglers fall back to the interpolated
+            # coarse track (accuracy there is set by the coarse pass,
+            # not the fine polish); anything below 0.985 is a hard error.
             badchi = chi_grid[sel][~ok]
-            raise RuntimeError(
-                f"fine polish failed: mode ({l},{m},{n}) at chi={badchi[:5]}")
+            if np.min(badchi) < 0.985:
+                raise RuntimeError(
+                    f"fine polish failed: mode ({l},{m},{n}) "
+                    f"at chi={badchi[:5]}")
+            bad = np.where(~ok)[0]
+            w[bad] = 2.0 * w_fine[sel][bad]
+            A[bad] = A_fine[sel][bad]
+            _, C[bad] = _angular_A_C(
+                s, l, m, (chi_grid[sel][bad] / 2.0) * w[bad], nl, A[bad])
         omega[sel] = w / 2.0
         Aout[sel] = A
         Cout[sel] = C
+
+    if extrap.any():
+        ext = np.where(extrap)[0]
+        omega[ext] = w_fine[ext]
+        Aout[ext] = A_fine[ext]
+        _, Cout[ext] = _angular_A_C(
+            s, l, m, (chi_grid[ext] / 2.0) * (2.0 * w_fine[ext]), nl,
+            A_fine[ext])
     return omega, Aout, Cout
 
 
