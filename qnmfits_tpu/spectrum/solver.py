@@ -86,11 +86,17 @@ def _select_eig(A_all, C_all, A_guess, l, m, s):
 
 
 def schwarzschild_seeds(l_max: int = 8, n_max: int = 7, s: int = -2,
-                        N: int = 6000, tol: float = 1e-13) -> dict:
+                        N: int = 6000, tol: float = 1e-13,
+                        n_max_low_l: int | None = None) -> dict:
     """Schwarzschild (chi=0) QNM frequencies omega(l, n) in M=1 units.
 
     Continuation in n from the n=0 mode of each l; the n=0 seeds for
     l >= 5 are extrapolated from lower l.  Returns {(l, n): omega}.
+
+    n_max_low_l caps the overtone ladder for l < l_max (the lower-l
+    ladders are only needed for the n=0 extrapolation chain); use 0 when
+    seeding a single high-l mode so the l=2 ladder never walks into the
+    algebraically special point at n=8.
     """
     # Trusted n=0 anchors per spin weight (standard published values,
     # M=1 units).  Newton polishes these to full precision, so ~1e-4
@@ -121,7 +127,8 @@ def schwarzschild_seeds(l_max: int = 8, n_max: int = 7, s: int = -2,
             w_guess = ((l + 0.5) - 0.5j) / (3.0 * np.sqrt(3.0))
         A = float(l * (l + 1) - s * (s + 1))
         prev = None
-        for n in range(0, n_max + 1):
+        n_top = n_max if (l == l_max or n_max_low_l is None) else n_max_low_l
+        for n in range(0, n_top + 1):
             if n > 0:
                 w_guess = out[(l, n - 1)] + (out[(l, n - 1)] - prev
                                              if n >= 2 else -0.19j)

@@ -166,6 +166,68 @@ class SpectrumTables:
             }
         return self._jax
 
+    # -- on-demand solving ------------------------------------------------
+    def _row_for(self, key: tuple) -> int:
+        """Table row for (l, m_lookup, n), solving the mode on demand if
+        it is outside the baked artifact.
+
+        The reference's `qnm` package solves any requested mode lazily
+        from its Leaver solver (qnm.py:124-160); the TPU-native
+        equivalent runs the in-house tracker once, persists the track to
+        the disk cache, and appends a new spline row in memory.
+        """
+        if key in self.row:
+            return self.row[key]
+        self._solve_missing(key)
+        return self.row[key]
+
+    def _solve_missing(self, key: tuple) -> None:
+        import sys
+
+        l, m, n = key
+        if l < abs(self.s) or abs(m) > l or n < 0:
+            raise KeyError(f"invalid mode {key} for spin weight s={self.s}")
+        cache_dir = DATA_DIR / "track_cache"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        cache = cache_dir / f"s{self.s}_l{l}_m{m}_n{n}_P{len(self.chi)}.npz"
+        if cache.exists():
+            z = np.load(cache)
+            w, C = z["w"], z["C"]
+        else:
+            from .solver import schwarzschild_seeds, track_mode
+
+            print(f"qnmfits_tpu: solving QNM ({l},{m},{n}) s={self.s} on "
+                  f"demand (not in baked tables; result is cached)...",
+                  file=sys.stderr, flush=True)
+            try:
+                seeds = schwarzschild_seeds(l_max=max(l, 2, abs(self.s)),
+                                            n_max=n, s=self.s,
+                                            n_max_low_l=0)
+                w, A, C = track_mode(l, m, n, seeds[(l, n)], self.chi,
+                                     s=self.s)
+            except RuntimeError as e:
+                raise KeyError(
+                    f"mode {key} is outside the baked tables and the "
+                    f"on-demand solve failed ({e}).  Deep overtone "
+                    f"ladders past the algebraically special frequency "
+                    f"need the multiplet machinery: rebuild with "
+                    f"`python -m qnmfits_tpu.spectrum.build_tables`.")
+            np.savez(cache, w=w, A=A, C=C)
+        mu = np.zeros((len(self.chi), self.n_mu), complex)
+        Kc = min(self.n_mu, C.shape[1])
+        mu[:, :Kc] = C[:, :Kc]
+
+        # Append the new row + its spline coefficients in place.
+        self.keys.append(key)
+        self.row[key] = len(self.keys) - 1
+        self.omega = np.concatenate([self.omega, w[None]], axis=0)
+        self.mu = np.concatenate([self.mu, mu[None]], axis=0)
+        self.omega_c = np.concatenate(
+            [self.omega_c, _fit_cubic_coeffs(self.chi, w[None])], axis=0)
+        self.mu_c = np.concatenate(
+            [self.mu_c, _fit_cubic_coeffs(self.chi, mu.T[None])], axis=0)
+        self._jax = None          # refresh device copies lazily
+
     # -- host-side index compilation -------------------------------------
     def compile_modes(self, modes) -> ModeIndexSet:
         """Compile a list of (possibly nonlinear) mode tuples to index arrays."""
@@ -177,11 +239,7 @@ class SpectrumTables:
             r, sg, mk = [], [], []
             for (l, m, n, sign) in p:
                 key = (l, m * sign, n)
-                if key not in self.row:
-                    raise KeyError(
-                        f"mode {(l, m, n)} (lookup {key}) not in tables; "
-                        f"rebuild with a larger --lmax/--nmax")
-                r.append(self.row[key])
+                r.append(self._row_for(key))
                 sg.append(sign)
                 mk.append(True)
             while len(r) < Kmax:
@@ -202,8 +260,7 @@ class SpectrumTables:
             m_l, mp_l = m * sign, mp * sign
             comp = ell - max(abs(m_l), abs(self.s))
             key = (ellp, mp_l, nprime)
-            if key not in self.row:
-                raise KeyError(f"mu lookup {key} not in tables")
+            self._row_for(key)     # solves on demand if missing
             if not (0 <= comp < self.n_mu):
                 raise KeyError(
                     f"mixing component l={ell} out of stored range for "

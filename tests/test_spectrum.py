@@ -164,3 +164,33 @@ class TestMultiplets:
             w_lo = q.omega(2, 2, n, 1, 0.05)
             w_hi = q.omega(2, 2, n, 1, 0.9)
             assert w_hi.real > w_lo.real   # prograde: Re grows with spin
+
+
+class TestOnDemandSolve:
+    """Modes outside the baked artifact are solved at runtime with a disk
+    cache (reference semantics: the `qnm` package solves any mode lazily,
+    qnm.py:124-160)."""
+
+    def test_fallback_solves_and_caches(self):
+        from qnmfits_tpu.spectrum.tables import SpectrumTables
+        t = SpectrumTables()            # fresh instance, not the singleton
+        assert (3, 3, 9) not in t.row   # beyond baked n<=7 for l=3
+        ms = t.compile_modes([(3, 3, 9, 1)])   # disk-cached by a prior run
+        w = t.omega_np(ms, 0.7)[0]
+        # Overtone ordering/continuity sanity: deeper than n=7, Re > 0.
+        ms7 = t.compile_modes([(3, 3, 7, 1)])
+        w7 = t.omega_np(ms7, 0.7)[0]
+        assert w.imag < w7.imag < 0
+        assert w.real > 0
+        # mixing row exists too
+        rows, comps, signs, parity, nz = t.compile_mu_indices(
+            [(4, 3, 3, 3, 9, 1)])
+        assert nz[0]
+
+    def test_invalid_mode_still_raises(self):
+        from qnmfits_tpu.spectrum.tables import SpectrumTables
+        t = SpectrumTables()
+        with pytest.raises(KeyError):
+            t.compile_modes([(1, 1, 0, 1)])     # l < |s| for s=-2
+        with pytest.raises(KeyError):
+            t.compile_modes([(3, 4, 0, 1)])     # |m| > l
