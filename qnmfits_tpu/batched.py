@@ -27,8 +27,9 @@ from .ref_impl import _delta_factor
 
 __all__ = [
     "batch_mismatch_t0", "batch_mismatch_t0_fast",
-    "batch_mismatch_t0_dynamic", "batch_mismatch_M_chi",
-    "batch_mismatch_omega", "sweep_t0_core", "sweep_t0_modesets",
+    "batch_mismatch_t0_sharded", "batch_mismatch_t0_dynamic",
+    "batch_mismatch_M_chi", "batch_mismatch_omega", "sweep_t0_core",
+    "sweep_t0_modesets",
 ]
 
 _CHUNK = 64
@@ -300,23 +301,18 @@ def _t0_sweep_fast_fn(chunk):
     return jax.jit(lambda *a: sweep_t0_factored_real(*a, chunk=chunk))
 
 
-def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
-                           T_array=100, spherical_modes=None, delta=0.0,
-                           return_amplitudes=False, chunk=128):
-    """TPU-speed start-time sweep on the factored split-complex kernel
-    (t0_method='geq'; ~76k multimode fits/s per v5e chip at f64
-    accuracy).  t0_array must be sorted ascending.
-
-    Identical results to batch_mismatch_t0 (tested to 1e-11); use this
-    for large sweeps.
-    """
+def _prep_fast(times, data, modes, Mf, chif, t0_array, T_array,
+               spherical_modes, delta, chunk):
+    """Host-side prep shared by the fast and sharded factored sweeps:
+    stacked data rows, split-complex spectrum (evaluated on CPU -- the
+    complex splines must never enter a TPU program), overflow-safe
+    chunk size."""
     times, rows, sph = _prep(times, data, spherical_modes)
     t0s = np.asarray(t0_array, float)
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
-
 
     df = np.asarray(_delta_factor(delta, len(modes)))
     ev_full = SpectrumEvaluator(list(_canon(modes)),
@@ -328,10 +324,53 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
               else np.asarray(ev_full.mu(float(chif))))
 
     chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
+    return times, rows, omega, mu, t0s, Ts, chunk
+
+
+def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
+                           T_array=100, spherical_modes=None, delta=0.0,
+                           return_amplitudes=False, chunk=128):
+    """TPU-speed start-time sweep on the factored split-complex kernel
+    (t0_method='geq'; ~76k multimode fits/s per v5e chip at f64
+    accuracy).  t0_array must be sorted ascending.
+
+    Identical results to batch_mismatch_t0 (tested to 1e-11); use this
+    for large sweeps.
+    """
+    times, rows, omega, mu, t0s, Ts, chunk = _prep_fast(
+        times, data, modes, Mf, chif, t0_array, T_array, spherical_modes,
+        delta, chunk)
     fn = _t0_sweep_fast_fn(chunk)
     Cre, Cim, mm = fn(times, rows.real.copy(), rows.imag.copy(),
                       omega.real.copy(), omega.imag.copy(),
                       mu.real.copy(), mu.imag.copy(), t0s, Ts)
+    mm = np.asarray(mm)
+    if return_amplitudes:
+        return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
+    return mm
+
+
+def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
+                              T_array=100, spherical_modes=None, delta=0.0,
+                              return_amplitudes=False, chunk=64, mesh=None):
+    """Multi-chip start-time sweep: the factored kernel sharded over a
+    device mesh (pure data parallelism over windows, ICI all-gather of
+    results).  t0_method='geq'; t0_array sorted ascending.
+
+    mesh defaults to a 1D ('sweep',) mesh over all available devices of
+    the default backend.
+    """
+    from .parallel.mesh import sharded_t0_sweep_factored, sweep_mesh
+
+    times, rows, omega, mu, t0s, Ts, chunk = _prep_fast(
+        times, data, modes, Mf, chif, t0_array, T_array, spherical_modes,
+        delta, chunk)
+    if mesh is None:
+        mesh = sweep_mesh(n_time=1)
+    Cre, Cim, mm = sharded_t0_sweep_factored(
+        times, rows.real.copy(), rows.imag.copy(),
+        omega.real.copy(), omega.imag.copy(),
+        mu.real.copy(), mu.imag.copy(), t0s, Ts, mesh=mesh, chunk=chunk)
     mm = np.asarray(mm)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)

@@ -244,21 +244,45 @@ def dynamic_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
 
 def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
                       t0_method="geq", T_array=100, spherical_modes=None,
-                      delta=0.0, engine="batched", precision="x64"):
+                      delta=0.0, engine="batched", precision="x64",
+                      mesh=None):
     """Mismatch vs ringdown start time (reference qnmfits.py:1183-1301).
 
-    engine='batched' runs all start times as one vmapped solve.
+    engine:
+      'batched' -- all start times as one vmapped solve (default);
+      'fast'    -- the factored split-complex kernel (t0_method='geq',
+                   sorted t0_array; the single-chip benchmark path);
+      'sharded' -- the factored kernel sharded over a device mesh
+                   (multi-chip DP over windows; ``mesh`` defaults to all
+                   devices of the default backend);
+      'loop'    -- reference-style serial NumPy loop.
     """
     if engine == "loop":
         return ref_impl.mismatch_t0_array(
             times, data, modes, Mf, chif, t0_array, t0_method, T_array,
             spherical_modes, delta)
     if np.ndim(Mf) != 0 or np.ndim(chif) != 0:
+        if engine in ("fast", "sharded"):
+            raise ValueError(
+                f"engine='{engine}' needs a static spectrum; use "
+                f"engine='batched' for time-dependent Mf/chif")
         from .batched import batch_mismatch_t0_dynamic
         return batch_mismatch_t0_dynamic(
             times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
             T_array=T_array, spherical_modes=spherical_modes,
             precision=precision)
+    if engine in ("fast", "sharded"):
+        if t0_method != "geq":
+            raise ValueError(
+                f"engine='{engine}' supports t0_method='geq' only")
+        from .batched import batch_mismatch_t0_fast, batch_mismatch_t0_sharded
+        if engine == "fast":
+            return batch_mismatch_t0_fast(
+                times, data, modes, Mf, chif, t0_array, T_array=T_array,
+                spherical_modes=spherical_modes, delta=delta)
+        return batch_mismatch_t0_sharded(
+            times, data, modes, Mf, chif, t0_array, T_array=T_array,
+            spherical_modes=spherical_modes, delta=delta, mesh=mesh)
     from .batched import batch_mismatch_t0
     return batch_mismatch_t0(
         times, data, modes, Mf, chif, t0_array, t0_method=t0_method,

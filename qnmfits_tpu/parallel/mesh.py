@@ -31,7 +31,8 @@ from ..ops.solve import gram_cholesky
 from ..ops.windows import trapz_weights, window_geq
 
 __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
-           "sharded_t0_sweep_real", "sharded_fit_core_real"]
+           "sharded_t0_sweep_real", "sharded_fit_core_real",
+           "sharded_t0_sweep_factored"]
 
 
 def sweep_mesh(n_sweep: int | None = None, n_time: int = 1,
@@ -192,6 +193,49 @@ def sharded_t0_sweep_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
             return fit_core_real(times_, dre_, dim_, wr_, wi_, mre_, mim_,
                                  t0, w)
         return jax.lax.map(one, (t0_loc, T_loc), batch_size=64)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(dre), np.asarray(dim),
+        np.asarray(wr), np.asarray(wi), np.asarray(mre), np.asarray(mim),
+        t0s_p, Ts_p)
+    return Cre[:B], Cim[:B], mm[:B]
+
+
+def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
+                              mesh: Mesh, col_mask=None, chunk: int = 64):
+    """The FAST multi-chip sweep: factored t0 kernel sharded over 'sweep'.
+
+    Each device runs engine_real.sweep_t0_factored_real on a contiguous
+    block of (sorted) start times -- the same factored Gram kernel the
+    single-chip benchmark uses (one (Bc,K)@(K,J^2) MXU matmul per chunk
+    instead of per-window Gram assembly), so per-chip throughput matches
+    the bench and scaling over ICI is pure data parallelism with one
+    result all-gather.
+
+    times (K,), dre/dim (I, K), wr/wi (J,), mre/mim (I, J) replicated;
+    t0s/Ts (B,) sharded (t0s sorted ascending).  Returns
+    (Cre (B, J), Cim (B, J), mm (B,)).
+    """
+    from ..engine_real import sweep_t0_factored_real
+
+    n_sweep = mesh.shape["sweep"]
+    t0s = np.asarray(t0s)
+    if np.any(np.diff(t0s) < 0):
+        raise ValueError("t0_array must be sorted ascending")
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep * chunk)
+    Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
+
+    spec_rep = (P(),) * 7
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=spec_rep + (P("sweep"), P("sweep")),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, dre_, dim_, wr_, wi_, mre_, mim_, t0_loc, T_loc):
+        return sweep_t0_factored_real(times_, dre_, dim_, wr_, wi_,
+                                      mre_, mim_, t0_loc, T_loc,
+                                      col_mask=col_mask, chunk=chunk)
 
     Cre, Cim, mm = jax.jit(run)(
         np.asarray(times), np.asarray(dre), np.asarray(dim),

@@ -89,3 +89,46 @@ def test_dryrun_multichip_entrypoint(cpu_devices):
     import __graft_entry__ as g
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_sharded_factored_sweep_matches_fast_kernel(cpu_devices, problem):
+    """The multi-chip factored sweep == the single-chip factored kernel
+    (and both == the loop oracle, covered by test_batched)."""
+    from qnmfits_tpu.engine_real import sweep_t0_factored_real
+    from qnmfits_tpu.parallel.mesh import (
+        sharded_t0_sweep_factored, sweep_mesh)
+
+    times, dre, dim, wr, wi, mre, mim = problem
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    t0s = np.linspace(0.0, 30.0, 48)
+    Ts = np.full_like(t0s, 60.0)
+
+    Cre_s, Cim_s, mm_s = sharded_t0_sweep_factored(
+        times, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh, chunk=4)
+    Cre_1, Cim_1, mm_1 = sweep_t0_factored_real(
+        times, dre, dim, wr, wi, mre, mim, t0s, Ts, chunk=4)
+    np.testing.assert_allclose(np.asarray(mm_s), np.asarray(mm_1),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Cre_s), np.asarray(Cre_1),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Cim_s), np.asarray(Cim_1),
+                               rtol=0, atol=1e-9)
+
+
+def test_public_sharded_engine_matches_loop(cpu_devices):
+    """mismatch_t0_array(engine='sharded') == reference loop oracle."""
+    from qnmfits_tpu import mismatch_t0_array, ref_impl
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    syn = synthetic_multimode(seed=43)
+    t0s = np.linspace(0.0, 24.0, 9)
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    mm_s = mismatch_t0_array(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+        syn["chif"], t0s, spherical_modes=syn["spherical_modes"],
+        engine="sharded", mesh=mesh)
+    mm_l = ref_impl.mismatch_t0_array(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+        syn["chif"], t0s, spherical_modes=syn["spherical_modes"])
+    np.testing.assert_allclose(mm_s, mm_l, rtol=0, atol=1e-11)
