@@ -29,7 +29,6 @@ from .ref_impl import (  # noqa: F401  (re-exported reference primitives)
     mask_times,
     mismatch,
     multimode_mismatch,
-    rational_filter,
     ringdown,
 )
 
@@ -339,6 +338,26 @@ def calculate_epsilon(times, data, modes, Mf, chif, t0, t0_method="geq",
     return ref_impl.calculate_epsilon(
         times, data, modes, Mf, chif, t0, t0_method, T, spherical_modes,
         min_method, delta, x0)
+
+
+def rational_filter(times, data, modes, Mf, chif, t_start=-300, t_end=None,
+                    dt=None, t_taper=100, align_inspiral=True,
+                    engine="jax"):
+    """Frequency-domain removal of QNM content, Ma et al. arXiv:2207.10870
+    (reference qnmfits.py:2046-2152).
+
+    engine='jax' (default) runs the taper+FFT+filter+IFFT pipeline as one
+    jitted program; engine='numpy' is the NumPy parity path.  Both agree
+    to <= 1e-12 (tests/test_filters.py).
+    """
+    if engine == "numpy":
+        return ref_impl.rational_filter(
+            times, data, modes, Mf, chif, t_start, t_end, dt, t_taper,
+            align_inspiral)
+    from .filters import rational_filter_jax
+    return rational_filter_jax(
+        times, data, modes, Mf, chif, t_start, t_end, dt, t_taper,
+        align_inspiral)
 
 
 def free_frequency_fit(times, data, t0, modes=[], Mf=None, chif=None,
