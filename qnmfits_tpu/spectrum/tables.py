@@ -47,11 +47,9 @@ def _fit_cubic_coeffs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """
     from scipy.interpolate import CubicSpline
     y2 = y.reshape(-1, y.shape[-1])
-    out = np.empty(y2.shape[:1] + (y.shape[-1] - 1, 4), dtype=complex)
-    for i in range(y2.shape[0]):
-        cs = CubicSpline(x, y2[i])
-        # cs.c has shape (4, P-1), order highest power first.
-        out[i] = cs.c.T
+    # One batched fit: cs.c has shape (4, P-1, N), highest power first.
+    cs = CubicSpline(x, y2, axis=-1)
+    out = np.ascontiguousarray(np.moveaxis(cs.c, (0, 1, 2), (2, 1, 0)))
     return out.reshape(y.shape[:-1] + (y.shape[-1] - 1, 4))
 
 
