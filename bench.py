@@ -3,14 +3,19 @@
 The BASELINE.json metric surface: a t0 x mode-set sweep of multimode
 ringdown fits (the workload the reference runs as serial Python loops,
 /root/reference/qnmfits/qnmfits.py:1183-1301), executed as one jitted
-TPU program (qnmfits_tpu.batched.sweep_t0_modesets, complex64).
+TPU program (engine_real.sweep_t0_modesets_factored_real: mode sets
+vmapped over the factored split-complex Gram kernel, f64).
 
 Configuration (synthetic SXS-0305-like ringdown):
   * K = 2001 time samples, I = 2 spherical modes (2,2), (3,2);
   * 16 mode sets: (2,2,n<=nmax) prograde ladders + mirror-augmented and
     (3,2)-augmented variants, padded to a common J = 16;
-  * 512 ringdown start times.
-  => 8192 multimode fits per sweep.
+  * 2048 ringdown start times (dense 0.025M spacing over the same
+    [-5, 46.2] range the round-1 bench swept at 512 points -- the
+    larger sweep amortizes the ~29 ms per-dispatch RPC latency of the
+    tunneled TPU backend, which is an artifact of this environment,
+    not of the kernel; see PERF.md for the B-scaling table).
+  => 32768 multimode fits per sweep.
 
 Prints ONE json line:
   {"metric": "multimode_fits_per_sec", "value": ..., "unit": "fits/s",
@@ -75,7 +80,7 @@ def _build_problem_impl(SpectrumEvaluator, synthetic_multimode):
         masks[si, :len(ms)] = True
 
     data = np.stack([syn["data_dict"][lm] for lm in spherical_modes])
-    t0s = np.linspace(-5.0, 46.2, 512)
+    t0s = np.linspace(-5.0, 46.2, 2048)
     Ts = np.full_like(t0s, 100.0)
     return (times, data.astype(complex), omegas.astype(complex),
             mus.astype(complex), masks, t0s, Ts, syn)
@@ -102,11 +107,16 @@ def main():
     times64 = times.astype(f64)
     t0s64, Ts64 = t0s.astype(f64), Ts.astype(f64)
 
-    # chunk=128: per-chunk t0 span is 12.8M here; the amplitude
-    # phase factor e^{|Im w| span} and the Gram diagonal e^{-2|Im w| span}
-    # must stay inside the float32 exponent range of the TPU's
-    # double-single f64 (|Im w| * 2 * span < ~80).
-    fn = jax.jit(lambda *a: sweep_t0_modesets_factored_real(*a, chunk=128))
+    # Mode sets are vmapped (not serialized); chunk via the overflow-safe
+    # rule in batched._safe_chunk -- the phi0-basis amplitude factor
+    # e^{|Im w| * chunk-span} must stay inside the float32 exponent range
+    # of the TPU's double-single f64 (here chunk=512 -> span 12.8M,
+    # |Im w|*span ~ 18, comfortably safe; deviation vs the x64 oracle is
+    # checked below).
+    from qnmfits_tpu.batched import _safe_chunk
+    chunk = _safe_chunk(t0s64, float(np.max(np.abs(wis))), 512)
+    fn = jax.jit(
+        lambda *a: sweep_t0_modesets_factored_real(*a, chunk=chunk))
     args = [jax.device_put(x, dev)
             for x in (times64, dre, dim_, wrs, wis, mres, mims,
                       t0s64, Ts64, masks)]

@@ -71,6 +71,7 @@ from .fitting import (  # noqa: E402
     mismatch_M_chi_grid,
     mismatch_omega_grid,
     mismatch_t0_array,
+    mismatch_t0_mode_sets,
     multimode_mismatch,
     multimode_ringdown_fit,
     rational_filter,

@@ -28,6 +28,7 @@ from .ref_impl import _delta_factor
 __all__ = [
     "batch_mismatch_t0", "batch_mismatch_t0_fast",
     "batch_mismatch_t0_sharded", "batch_mismatch_t0_dynamic",
+    "batch_mismatch_t0_modesets",
     "batch_mismatch_M_chi", "batch_mismatch_omega", "sweep_t0_core",
     "sweep_t0_modesets",
 ]
@@ -270,22 +271,32 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
 # Fast (TPU) start-time sweep on the factored split-complex kernel
 # ---------------------------------------------------------------------------
 
-_SPAN_EXP_LIMIT = 60.0   # |Im w| * 2 * chunk-span must stay < ~80 (TPU
-                         # double-single f64 has float32 exponent range)
+_SPAN_EXP_LIMIT = 18.0   # |Im w| * chunk-span accuracy budget (see below)
 
 
 def _safe_chunk(t0s, wi_max, chunk):
-    """Largest chunk <= `chunk` whose t0 span keeps the factored kernel's
-    exponents inside the double-single f64 range."""
+    """Largest chunk <= `chunk` whose t0 span keeps the factored kernel
+    accurate.
+
+    The factored basis references every window in a chunk to the chunk
+    start: a mode's Gram diagonal carries e^{-2 |Im w| delta}
+    (delta <= chunk span) on top of its true within-window conditioning.
+    Once that factor eats the working precision, a mode that IS
+    resolvable in its own window becomes unresolvable in the chunk basis
+    (dead-column masking then zeroes it -- graceful, but a real
+    deviation).  |Im w|*span <= 18 keeps the factor above ~3e-16
+    ~ f64 eps: measured max deviation vs the per-window oracle is
+    1.6e-13 at span 17.4 and the round-1 bench ran proven-accurate at
+    span 17.5 (PERF.md section 2)."""
     span = float(t0s[-1] - t0s[0]) if len(t0s) > 1 else 0.0
     if span <= 0 or wi_max <= 0:
         return chunk
     per_step = span / max(len(t0s) - 1, 1)
-    max_span = _SPAN_EXP_LIMIT / (2.0 * wi_max)
+    max_span = _SPAN_EXP_LIMIT / wi_max
     max_chunk = max(int(max_span / max(per_step, 1e-30)), 1)
     c = min(chunk, max_chunk)
     # keep it a friendly size
-    for size in (128, 64, 32, 16, 8, 4, 2, 1):
+    for size in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if size <= c:
             return size
     return 1
@@ -348,6 +359,78 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm
+
+
+@lru_cache(maxsize=64)
+def _t0_sweep_modesets_fn(chunk):
+    from .engine_real import sweep_t0_modesets_factored_real
+
+    return jax.jit(
+        lambda *a: sweep_t0_modesets_factored_real(*a, chunk=chunk))
+
+
+def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
+                               T_array=100, spherical_modes=None,
+                               return_amplitudes=False, chunk=256,
+                               mesh=None):
+    """The t0 x mode-set sweep: every (mode set, start time) pair in ONE
+    jitted TPU program on the factored split-complex kernel (the
+    single-chip benchmark surface; reference equivalent is a doubly
+    nested Python loop over qnmfits.py:1183-1301).
+
+    mode_sets is a list of mode lists (each a list of (l, m, n, sign)
+    tuples, possibly of different lengths -- they are padded to a common
+    J with identity Gram rows, padded amplitudes exactly zero).
+    t0_array must be sorted ascending (t0_method='geq').
+
+    Returns mm (S, B); with return_amplitudes=True also a list of S
+    complex (B, len(mode_sets[s])) amplitude arrays.  Pass ``mesh`` (or
+    mesh='auto') to shard the start-time axis over a device mesh.
+    """
+    times, rows, sph = _prep(times, data, spherical_modes)
+    t0s = np.asarray(t0_array, float)
+    if np.any(np.diff(t0s) < 0):
+        raise ValueError("t0_array must be sorted ascending")
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+
+    sets = [list(_canon(ms)) for ms in mode_sets]
+    S = len(sets)
+    J = max(len(ms) for ms in sets)
+    I = rows.shape[0]
+    omegas = np.zeros((S, J), complex)
+    mus = np.zeros((S, I, J), complex)
+    masks = np.zeros((S, J), bool)
+    from .engine import cpu_device
+    with jax.default_device(cpu_device()):
+        for si, ms in enumerate(sets):
+            ev = SpectrumEvaluator(ms, list(sph) if sph else None)
+            omegas[si, :len(ms)] = np.asarray(
+                ev.omega(float(chif), float(Mf)))
+            if sph is None:
+                mus[si, :, :len(ms)] = 1.0
+            else:
+                mus[si, :, :len(ms)] = np.asarray(ev.mu(float(chif)))
+            masks[si, :len(ms)] = True
+
+    chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))), chunk)
+    args = (times, rows.real.copy(), rows.imag.copy(),
+            omegas.real.copy(), omegas.imag.copy(),
+            mus.real.copy(), mus.imag.copy(), t0s, Ts, masks)
+    if mesh is not None:
+        from .parallel.mesh import (sharded_t0_sweep_modesets_factored,
+                                    sweep_mesh)
+        if mesh == "auto":
+            mesh = sweep_mesh(n_time=1)
+        Cre, Cim, mm = sharded_t0_sweep_modesets_factored(
+            *args, mesh=mesh, chunk=chunk)
+    else:
+        Cre, Cim, mm = _t0_sweep_modesets_fn(chunk)(*args)
+    mm = np.asarray(mm)
+    if not return_amplitudes:
+        return mm
+    C = np.asarray(Cre) + 1j * np.asarray(Cim)
+    return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]
 
 
 def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,

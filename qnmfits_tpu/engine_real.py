@@ -60,8 +60,18 @@ def _regularised_embed(Gre, Gim, bre, bim):
     J = Gre.shape[-1]
     diag = jnp.diagonal(Gre, axis1=-2, axis2=-1)
     eps = jnp.finfo(Gre.dtype).eps
+    # Dead threshold: a column with diagonal ratio eta contributes
+    # singular-value ratio sqrt(eta); below (1e3 eps)^2 it is beyond any
+    # solver's resolution at this precision (np.linalg.lstsq rcond=None
+    # truncates at (eps K)^2 ~ 2e-25, slightly above this).  A
+    # finfo-tiny-based threshold would never fire on TPU, where "f64" is
+    # double-single emulation whose effective epsilon (2^-49) and
+    # exponent range are those of float32 -- leaving columns alive whose
+    # equilibrated Gram is pure rounding noise (non-PSD -> NaN Cholesky,
+    # measured at diag ratios < ~1e-30 on a v5e, scripts/perf_kernels.py
+    # aftermath in PERF.md section 2).
     dead = diag <= (jnp.max(diag, axis=-1, keepdims=True)
-                    * jnp.finfo(Gre.dtype).tiny * 1e8)
+                    * (1e3 * eps) ** 2)
     kk = dead[..., :, None] | dead[..., None, :]
     eye = jnp.eye(J, dtype=Gre.dtype)
     Gre = jnp.where(kk, eye, Gre)
@@ -352,15 +362,26 @@ def sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
 
 
 def sweep_t0_modesets_factored_real(times, dre, dim, wrs, wis, mres, mims,
-                                    t0s, Ts, col_masks, chunk: int = 64):
-    """t0 x mode-set sweep on the factored kernel."""
-    def per_set(args):
-        wr, wi, mre, mim, mask = args
+                                    t0s, Ts, col_masks, chunk: int = 64,
+                                    set_chunk: int | None = None):
+    """t0 x mode-set sweep on the factored kernel, mode sets VMAPPED.
+
+    Serialising the mode-set axis (lax.map batch_size=1) leaves the MXU
+    idle between the small per-set programs; vmapping it batches the
+    (Bc, K) @ (K, J^2) Gram matmuls across sets into one large
+    contraction (measured ~1.9x on a v5e, scripts/perf_kernels.py).
+    ``set_chunk`` bounds the vmapped working set for very large S
+    (default: all sets at once).
+    """
+    def per_set(wr, wi, mre, mim, mask):
         return sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim,
                                       t0s, Ts, col_mask=mask, chunk=chunk)
 
-    return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
-                       batch_size=1)
+    if set_chunk is None:
+        return jax.vmap(per_set)(wrs, wis, mres, mims, col_masks)
+    return jax.lax.map(lambda a: per_set(*a),
+                       (wrs, wis, mres, mims, col_masks),
+                       batch_size=set_chunk)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,8 @@ __all__ = [
     "ringdown", "mismatch", "multimode_mismatch",
     "ringdown_fit", "dynamic_ringdown_fit",
     "multimode_ringdown_fit", "dynamic_multimode_ringdown_fit",
-    "mismatch_t0_array", "mismatch_M_chi_grid", "mismatch_omega_grid",
+    "mismatch_t0_array", "mismatch_t0_mode_sets",
+    "mismatch_M_chi_grid", "mismatch_omega_grid",
     "calculate_epsilon", "free_frequency_fit", "rational_filter",
 ]
 
@@ -287,6 +288,31 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
         times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
         T_array=T_array, spherical_modes=spherical_modes, delta=delta,
         precision=precision)
+
+
+def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
+                          T_array=100, spherical_modes=None,
+                          return_amplitudes=False, mesh=None):
+    """Mismatch vs start time for MANY mode sets in one TPU program.
+
+    The workload the reference runs as a doubly nested Python loop
+    (a mode-set loop around qnmfits.py:1183-1301, e.g.
+    /root/reference/examples/even_more_overtones.ipynb cell 3); here it
+    is a single jitted sweep on the factored split-complex kernel with
+    the mode-set axis vmapped -- the benchmark surface (~245k fits/s
+    per v5e chip, see PERF.md).
+
+    mode_sets: list of mode lists (ragged lengths fine -- padded with
+    exact-zero amplitude slots).  t0_array sorted ascending
+    (t0_method='geq').  Returns mm (S, B); with return_amplitudes=True
+    also a list of per-set complex (B, len(mode_set)) amplitude arrays.
+    Pass mesh='auto' (or an explicit Mesh) to shard over devices.
+    """
+    from .batched import batch_mismatch_t0_modesets
+    return batch_mismatch_t0_modesets(
+        times, data, mode_sets, Mf, chif, t0_array, T_array=T_array,
+        spherical_modes=spherical_modes,
+        return_amplitudes=return_amplitudes, mesh=mesh)
 
 
 def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,

@@ -32,7 +32,8 @@ from ..ops.windows import trapz_weights, window_geq
 
 __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
            "sharded_t0_sweep_real", "sharded_fit_core_real",
-           "sharded_t0_sweep_factored"]
+           "sharded_t0_sweep_factored",
+           "sharded_t0_sweep_modesets_factored"]
 
 
 def sweep_mesh(n_sweep: int | None = None, n_time: int = 1,
@@ -242,6 +243,47 @@ def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
         np.asarray(wr), np.asarray(wi), np.asarray(mre), np.asarray(mim),
         t0s_p, Ts_p)
     return Cre[:B], Cim[:B], mm[:B]
+
+
+def sharded_t0_sweep_modesets_factored(times, dre, dim, wrs, wis, mres,
+                                       mims, t0s, Ts, col_masks,
+                                       mesh: Mesh, chunk: int = 64):
+    """Multi-chip t0 x mode-set sweep: start times sharded over the
+    'sweep' mesh axis, the mode-set axis vmapped on every device (the
+    full single-chip throughput kernel, scaled by pure data parallelism
+    with one result all-gather).
+
+    wrs/wis (S, J), mres/mims (S, I, J), col_masks (S, J) replicated;
+    t0s/Ts (B,) sharded (sorted ascending).  Returns
+    (Cre (S, B, J), Cim (S, B, J), mm (S, B)).
+    """
+    from ..engine_real import sweep_t0_modesets_factored_real
+
+    n_sweep = mesh.shape["sweep"]
+    t0s = np.asarray(t0s)
+    if np.any(np.diff(t0s) < 0):
+        raise ValueError("t0_array must be sorted ascending")
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep * chunk)
+    Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
+
+    spec_rep = (P(),) * 7
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=spec_rep + (P("sweep"), P("sweep"), P()),
+        out_specs=(P(None, "sweep"), P(None, "sweep"), P(None, "sweep")),
+    )
+    def run(times_, dre_, dim_, wrs_, wis_, mres_, mims_, t0_loc, T_loc,
+            masks_):
+        return sweep_t0_modesets_factored_real(
+            times_, dre_, dim_, wrs_, wis_, mres_, mims_, t0_loc, T_loc,
+            masks_, chunk=chunk)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(dre), np.asarray(dim),
+        np.asarray(wrs), np.asarray(wis), np.asarray(mres),
+        np.asarray(mims), t0s_p, Ts_p, np.asarray(col_masks))
+    return Cre[:, :B], Cim[:, :B], mm[:, :B]
 
 
 def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,

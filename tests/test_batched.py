@@ -215,3 +215,84 @@ def test_batch_mismatch_t0_routes_dynamic():
         batch_mismatch_t0(
             syn["times"], syn["data"], syn["modes"], Mf_t, chif_t, t0s,
             T_array=70.0, delta=0.01)
+
+
+class TestModesetSweep:
+    """The t0 x mode-set sweep (batch_mismatch_t0_modesets)."""
+
+    def test_matches_per_set_loop(self, syn_mm):
+        mode_sets = [
+            [(2, 2, n, 1) for n in range(nmax)] for nmax in (1, 2, 4)
+        ] + [[(2, 2, 0, 1), (2, 2, 0, -1)]]
+        t0s = np.linspace(0.0, 30.0, 9)
+        mm = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"])
+        assert mm.shape == (4, 9)
+        for si, ms in enumerate(mode_sets):
+            mm_l = ref_impl.mismatch_t0_array(
+                syn_mm["times"], syn_mm["data_dict"], ms,
+                syn_mm["Mf"], syn_mm["chif"], t0s, T_array=80.0,
+                spherical_modes=syn_mm["spherical_modes"])
+            np.testing.assert_allclose(mm[si], mm_l, rtol=0, atol=1e-11)
+
+    def test_amplitudes_trimmed_to_set_length(self, syn_mm):
+        mode_sets = [[(2, 2, 0, 1)],
+                     [(2, 2, n, 1) for n in range(3)]]
+        t0s = np.linspace(0.0, 10.0, 4)
+        mm, Cs = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s,
+            spherical_modes=syn_mm["spherical_modes"],
+            return_amplitudes=True)
+        assert Cs[0].shape == (4, 1) and Cs[1].shape == (4, 3)
+        _, C_ref = batched.batch_mismatch_t0(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets[1],
+            syn_mm["Mf"], syn_mm["chif"], t0s,
+            spherical_modes=syn_mm["spherical_modes"],
+            return_amplitudes=True)
+        np.testing.assert_allclose(Cs[1], C_ref, rtol=0, atol=1e-9)
+
+    def test_unsorted_t0_raises(self, syn_mm):
+        with pytest.raises(ValueError, match="sorted"):
+            batched.batch_mismatch_t0_modesets(
+                syn_mm["times"], syn_mm["data_dict"], [syn_mm["modes"]],
+                syn_mm["Mf"], syn_mm["chif"], np.array([5.0, 0.0]))
+
+    def test_vmap_equals_serial_modesets(self, syn_mm):
+        """vmapped mode-set axis == per-set serialized kernel."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine import SpectrumEvaluator
+        from qnmfits_tpu.engine_real import (
+            sweep_t0_modesets_factored_real)
+
+        sph = syn_mm["spherical_modes"]
+        sets = [[(2, 2, n, 1) for n in range(nmax)] for nmax in (2, 4)]
+        J = max(len(ms) for ms in sets)
+        S, I = len(sets), len(sph)
+        omegas = np.zeros((S, J), complex)
+        mus = np.zeros((S, I, J), complex)
+        masks = np.zeros((S, J), bool)
+        for si, ms in enumerate(sets):
+            ev = SpectrumEvaluator(ms, sph)
+            omegas[si, :len(ms)] = np.asarray(
+                ev.omega(syn_mm["chif"], syn_mm["Mf"]))
+            mus[si, :, :len(ms)] = np.asarray(ev.mu(syn_mm["chif"]))
+            masks[si, :len(ms)] = True
+        data = np.stack([syn_mm["data_dict"][lm] for lm in sph])
+        t0s = np.linspace(0.0, 12.0, 8)
+        Ts = np.full_like(t0s, 60.0)
+        args = (jnp.asarray(syn_mm["times"]),
+                jnp.asarray(data.real), jnp.asarray(data.imag),
+                jnp.asarray(omegas.real), jnp.asarray(omegas.imag),
+                jnp.asarray(mus.real), jnp.asarray(mus.imag),
+                jnp.asarray(t0s), jnp.asarray(Ts), jnp.asarray(masks))
+        Cre_v, Cim_v, mm_v = sweep_t0_modesets_factored_real(
+            *args, chunk=4)
+        Cre_s, Cim_s, mm_s = sweep_t0_modesets_factored_real(
+            *args, chunk=4, set_chunk=1)
+        np.testing.assert_allclose(np.asarray(mm_v), np.asarray(mm_s),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(Cre_v), np.asarray(Cre_s),
+                                   rtol=0, atol=1e-10)

@@ -132,3 +132,56 @@ def test_public_sharded_engine_matches_loop(cpu_devices):
         syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
         syn["chif"], t0s, spherical_modes=syn["spherical_modes"])
     np.testing.assert_allclose(mm_s, mm_l, rtol=0, atol=1e-11)
+
+
+def test_sharded_modesets_sweep_matches_single_device(cpu_devices, problem):
+    """Multi-chip t0 x mode-set sweep == single-device vmapped kernel."""
+    import jax.numpy as jnp
+    from qnmfits_tpu.engine_real import sweep_t0_modesets_factored_real
+    from qnmfits_tpu.parallel.mesh import (
+        sharded_t0_sweep_modesets_factored, sweep_mesh)
+
+    times, dre, dim, wr, wi, mre, mim = problem
+    # Two mode sets: the full set and a truncated (masked) one.
+    J = wr.shape[0]
+    wrs = np.stack([wr, wr])
+    wis = np.stack([wi, wi])
+    mres = np.stack([mre, mre])
+    mims = np.stack([mim, mim])
+    masks = np.ones((2, J), bool)
+    masks[1, J // 2:] = False
+
+    mesh = sweep_mesh(n_sweep=4, n_time=1, devices=cpu_devices[:4])
+    t0s = np.linspace(0.0, 18.0, 11)   # not divisible by 4*chunk: padding
+    Ts = np.full_like(t0s, 60.0)
+
+    Cre_s, Cim_s, mm_s = sharded_t0_sweep_modesets_factored(
+        times, dre, dim, wrs, wis, mres, mims, t0s, Ts, masks,
+        mesh=mesh, chunk=2)
+    args = [jnp.asarray(x) for x in
+            (times, dre, dim, wrs, wis, mres, mims, t0s, Ts, masks)]
+    Cre_1, Cim_1, mm_1 = sweep_t0_modesets_factored_real(*args, chunk=2)
+    np.testing.assert_allclose(np.asarray(mm_s), np.asarray(mm_1),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Cre_s), np.asarray(Cre_1),
+                               atol=1e-10)
+
+
+def test_public_modesets_mesh_matches_unsharded(cpu_devices):
+    """batch_mismatch_t0_modesets(mesh=...) == mesh=None."""
+    from qnmfits_tpu.batched import batch_mismatch_t0_modesets
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    syn = synthetic_multimode(seed=43)
+    mode_sets = [[(2, 2, n, 1) for n in range(nmax)] for nmax in (1, 3)]
+    t0s = np.linspace(0.0, 16.0, 10)
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    mm_m = batch_mismatch_t0_modesets(
+        syn["times"], syn["data_dict"], mode_sets, syn["Mf"], syn["chif"],
+        t0s, T_array=70.0, spherical_modes=syn["spherical_modes"],
+        mesh=mesh)
+    mm_1 = batch_mismatch_t0_modesets(
+        syn["times"], syn["data_dict"], mode_sets, syn["Mf"], syn["chif"],
+        t0s, T_array=70.0, spherical_modes=syn["spherical_modes"])
+    np.testing.assert_allclose(mm_m, mm_1, rtol=0, atol=1e-12)
