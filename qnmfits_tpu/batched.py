@@ -29,7 +29,8 @@ __all__ = [
     "batch_mismatch_t0", "batch_mismatch_t0_fast",
     "batch_mismatch_t0_sharded", "batch_mismatch_t0_dynamic",
     "batch_mismatch_t0_modesets",
-    "batch_mismatch_M_chi", "batch_mismatch_omega", "sweep_t0_core",
+    "batch_mismatch_M_chi", "batch_mismatch_M_chi_fast",
+    "batch_mismatch_omega", "batch_mismatch_omega_fast", "sweep_t0_core",
     "sweep_t0_modesets",
 ]
 
@@ -251,8 +252,13 @@ def _t0_sweep_dynamic_fn(modes, sph, t0_method, precision):
 def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
                               t0_method="geq", T_array=100,
                               spherical_modes=None, precision="x64",
-                              return_amplitudes=False):
-    """Dynamic-spectrum start-time sweep as one jitted program."""
+                              return_amplitudes=False, engine="batched"):
+    """Dynamic-spectrum start-time sweep as one jitted program.
+
+    engine='fast' runs the split-complex TPU kernel (the spectrum is
+    spline-evaluated on the (Mf(t), chif(t)) arrays host-side once, the
+    window sweep runs on device); 'batched' (default) is the complex
+    x64 path."""
     times, rows, sph = _prep(times, data, spherical_modes)
     K = len(times)
     Mf_t = np.full(K, Mf) if np.ndim(Mf) == 0 else np.asarray(Mf, float)
@@ -261,10 +267,36 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
     t0s = np.asarray(t0_array, float)
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+    if engine == "fast":
+        ev = SpectrumEvaluator(list(_canon(modes)),
+                               list(sph) if sph else None)
+        from .engine import cpu_device
+        with jax.default_device(cpu_device()):
+            omega_t = np.asarray(ev.omega(chif_t, Mf_t)).T      # (K, J)
+            if sph is None:
+                mu_t = np.ones((1,) + omega_t.shape, complex)
+            else:
+                mu_t = np.moveaxis(np.asarray(ev.mu(chif_t)), -1, 1)
+        Cre, Cim, mm = _t0_sweep_dynamic_fast_fn(t0_method)(
+            times, rows.real.copy(), rows.imag.copy(),
+            omega_t.real.copy(), omega_t.imag.copy(),
+            mu_t.real.copy(), mu_t.imag.copy(), t0s, Ts)
+        mm = np.asarray(mm)
+        if return_amplitudes:
+            return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
+        return mm
     fn = _t0_sweep_dynamic_fn(_canon(modes), sph, t0_method, precision)
     C, mm = fn(*_put((times, rows, Mf_t, chif_t, t0s, Ts), precision))
     mm = np.asarray(mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm
+
+
+@lru_cache(maxsize=8)
+def _t0_sweep_dynamic_fast_fn(t0_method):
+    from .engine_real import sweep_t0_dynamic_real
+
+    return jax.jit(lambda *a: sweep_t0_dynamic_real(
+        *a, t0_method=t0_method))
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +391,89 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm
+
+
+@lru_cache(maxsize=64)
+def _spectra_sweep_fn(chunk):
+    from .engine_real import sweep_spectra_real
+
+    return jax.jit(lambda *a: sweep_spectra_real(*a, chunk=chunk))
+
+
+def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk):
+    """Split-complex spectrum-batched sweep: omegas (Q, J), mus (Q, I, J)
+    complex host arrays; returns (C (Q, J) complex, mm (Q,))."""
+    Cre, Cim, mm = _spectra_sweep_fn(chunk)(
+        np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
+        omegas.real.copy(), omegas.imag.copy(),
+        mus.real.copy(), mus.imag.copy(),
+        float(t0), np.asarray(w, float))
+    return np.asarray(Cre) + 1j * np.asarray(Cim), np.asarray(mm)
+
+
+def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
+                              t0, t0_method="geq", T=100, res=50,
+                              spherical_modes=None, delta=0.0, chunk=128):
+    """(Mf, chif) grid on the split-complex TPU kernel (hot loop #2,
+    reference qnmfits.py:1304-1415): the spectrum is spline-evaluated
+    host-side for every grid point at once, the res^2 Gram solves run
+    as one jitted spectrum-batched sweep.  Identical layout to
+    batch_mismatch_M_chi (row-major Mf rows / chif columns)."""
+    times, rows, sph = _prep(times, data, spherical_modes)
+    Mf_array = np.linspace(*Mf_minmax, res)
+    chif_array = np.linspace(*chif_minmax, res)
+    MM, CC = np.meshgrid(Mf_array, chif_array, indexing="ij")
+
+    ev = SpectrumEvaluator(list(_canon(modes)),
+                           list(sph) if sph else None)
+    df = np.asarray(_delta_factor(delta, len(modes)))
+    from .engine import cpu_device
+    with jax.default_device(cpu_device()):
+        # (J, Q) -> (Q, J); omega() divides by Mf with (J, Q)/(Q,)
+        # broadcasting.
+        omegas = np.asarray(ev.omega(CC.ravel(), MM.ravel(), df)).T
+        if sph is None:
+            mus = np.ones((omegas.shape[0], 1, omegas.shape[1]), complex)
+        else:
+            mus = np.moveaxis(np.asarray(ev.mu(CC.ravel())), -1, 0)
+
+    window = window_geq if t0_method == "geq" else window_closest
+    with jax.default_device(cpu_device()):
+        w = np.asarray(window(times, float(t0), float(T)), float)
+    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
+    return mm.reshape(res, res)
+
+
+def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
+                              im_minmax, t0, t0_method="geq", T=100,
+                              res=50, chunk=128):
+    """Complex-frequency grid on the split-complex TPU kernel (hot loop
+    #3, reference qnmfits.py:1679-1827): fixed QNM frequencies plus one
+    free frequency per grid point, one jitted spectrum-batched sweep.
+    Transposed output layout like the reference (qnmfits.py:1825)."""
+    times, rows, sph = _prep(times, data, None)
+    re = np.linspace(*re_minmax, res)
+    im = np.linspace(*im_minmax, res)
+    RE, IM = np.meshgrid(re, im, indexing="ij")
+    wf = (RE + 1j * IM).ravel()
+
+    from .engine import cpu_device
+    if modes:
+        ev = SpectrumEvaluator(list(_canon(modes)))
+        with jax.default_device(cpu_device()):
+            fixed = np.asarray(ev.omega(float(chif), float(Mf)))
+    else:
+        fixed = np.zeros((0,), complex)
+    Q = wf.shape[0]
+    omegas = np.concatenate(
+        [np.broadcast_to(fixed, (Q, fixed.shape[0])), wf[:, None]], axis=1)
+    mus = np.ones((Q, 1, omegas.shape[1]), complex)
+
+    window = window_geq if t0_method == "geq" else window_closest
+    with jax.default_device(cpu_device()):
+        w = np.asarray(window(times, float(t0), float(T)), float)
+    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
+    return mm.reshape(res, res).T
 
 
 @lru_cache(maxsize=64)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .ops.chol import cholesky_solve_unrolled
 
-__all__ = ["fit_core_real", "sweep_t0_real", "split", "merge"]
+__all__ = ["fit_core_real", "sweep_t0_real", "sweep_spectra_real",
+           "split", "merge"]
 
 
 def split(z):
@@ -217,6 +218,102 @@ def sweep_t0_modesets_real(times, dre, dim, wrs, wis, mres, mims, t0s, Ts,
 
     return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
                        batch_size=1)
+
+
+def dynamic_fit_core_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t, t0, w):
+    """Time-dependent-spectrum fit, all-real arithmetic.
+
+    Split-complex mirror of engine.dynamic_fit_core (reference design
+    entries a^i_{kj} = mu^i_{kj}(t_k) exp(-i omega_{kj}(t_k) (t_k - t0)),
+    qnmfits.py:438-444, 863-864): wr_t/wi_t (K, J), mre_t/mim_t (I, K, J),
+    data (I, K), w (K,) {0,1}.  The per-sample mixing cannot be factored
+    out of the design matrix, so the Gram contracts over the flattened
+    (I*K) axis.  Returns (Cre (J,), Cim (J,), mm).
+    """
+    tau = _trapz_weights(times, w)
+    dt = (times - t0) * w                                   # (K,)
+    Ee = jnp.exp(wi_t * dt[:, None])                        # (K, J)
+    ph = wr_t * dt[:, None]
+    P = Ee * jnp.cos(ph)
+    Q = -Ee * jnp.sin(ph)
+    Ere = mre_t * P[None] - mim_t * Q[None]                 # (I, K, J)
+    Eim = mre_t * Q[None] + mim_t * P[None]
+
+    K, J = wr_t.shape
+    I = dre.shape[0]
+    wcol = w[None, :, None]
+    Ewre = (Ere * wcol).reshape(I * K, J)
+    Ewim = (Eim * wcol).reshape(I * K, J)
+    G_re = Ewre.T @ Ewre + Ewim.T @ Ewim
+    G_im = Ewre.T @ Ewim - Ewim.T @ Ewre
+    dw_re = (dre * w[None, :]).reshape(I * K)
+    dw_im = (dim * w[None, :]).reshape(I * K)
+    rhs_re = Ewre.T @ dw_re + Ewim.T @ dw_im
+    rhs_im = Ewre.T @ dw_im - Ewim.T @ dw_re
+    Cre, Cim = _embedded_solve(G_re, G_im, rhs_re, rhs_im)
+
+    tcol = tau[None, :, None]
+    Etre = (Ere * tcol).reshape(I * K, J)
+    Etim = (Eim * tcol).reshape(I * K, J)
+    Efre = Ere.reshape(I * K, J)
+    Efim = Eim.reshape(I * K, J)
+    Gt_re = Etre.T @ Efre + Etim.T @ Efim
+    Gt_im = Etre.T @ Efim - Etim.T @ Efre
+    d_re = dre.reshape(I * K)
+    d_im = dim.reshape(I * K)
+    rt_re = Etre.T @ d_re + Etim.T @ d_im
+    rt_im = Etre.T @ d_im - Etim.T @ d_re
+
+    num = jnp.sum(Cre * rt_re + Cim * rt_im)
+    GC_re = Gt_re @ Cre - Gt_im @ Cim
+    GC_im = Gt_re @ Cim + Gt_im @ Cre
+    model_norm = jnp.sum(Cre * GC_re + Cim * GC_im)
+    data_norm = jnp.sum(tau[None, :] * (dre * dre + dim * dim))
+    mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
+    return Cre, Cim, mm
+
+
+def sweep_t0_dynamic_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t,
+                          t0s, Ts, t0_method: str = "geq",
+                          chunk: int = 32):
+    """Start-time sweep with a time-dependent spectrum, all-real (the
+    TPU fast path for dynamic fits; reference loop qnmfits.py:1286-1299).
+
+    Returns (Cre (B, J), Cim (B, J), mm (B,)).
+    """
+    from .ops.windows import window_closest, window_geq
+
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def one(args):
+        t0, T = args
+        w = window(times, t0, T).astype(times.dtype)
+        return dynamic_fit_core_real(times, dre, dim, wr_t, wi_t,
+                                     mre_t, mim_t, t0, w)
+
+    return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+
+def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
+                       col_mask=None, chunk: int = 64):
+    """Spectrum-batched fit sweep with a FIXED window: the TPU kernel
+    behind the (Mf, chif) and free-frequency grid hot loops (reference
+    qnmfits.py:1304-1415, 1679-1827 -- one lstsq per grid point there).
+
+    wrs/wis (Q, J), mres/mims (Q, I, J): one spectrum per grid point;
+    times (K,), data (I, K), t0 scalar, w (K,) {0,1} shared.  The t0
+    factoring does not apply (omega varies per item), so each item is a
+    full Gram assembly -- batched into MXU matmuls by vmap, chunked with
+    lax.map to bound the (chunk, K, J) phase arrays in HBM.
+
+    Returns (Cre (Q, J), Cim (Q, J), mm (Q,)).
+    """
+    def one(args):
+        wr, wi, mre, mim = args
+        return fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
+                             col_mask=col_mask)
+
+    return jax.lax.map(one, (wrs, wis, mres, mims), batch_size=chunk)
 
 
 # ---------------------------------------------------------------------------

@@ -251,7 +251,9 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
     engine:
       'batched' -- all start times as one vmapped solve (default);
       'fast'    -- the factored split-complex kernel (t0_method='geq',
-                   sorted t0_array; the single-chip benchmark path);
+                   sorted t0_array; the single-chip benchmark path).
+                   With time-dependent Mf/chif this routes to the
+                   split-complex dynamic kernel instead (any t0_method);
       'sharded' -- the factored kernel sharded over a device mesh
                    (multi-chip DP over windows; ``mesh`` defaults to all
                    devices of the default backend);
@@ -262,15 +264,16 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
             times, data, modes, Mf, chif, t0_array, t0_method, T_array,
             spherical_modes, delta)
     if np.ndim(Mf) != 0 or np.ndim(chif) != 0:
-        if engine in ("fast", "sharded"):
+        if engine == "sharded":
             raise ValueError(
-                f"engine='{engine}' needs a static spectrum; use "
-                f"engine='batched' for time-dependent Mf/chif")
+                "engine='sharded' needs a static spectrum; use "
+                "engine='batched' or 'fast' for time-dependent Mf/chif")
         from .batched import batch_mismatch_t0_dynamic
         return batch_mismatch_t0_dynamic(
             times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
             T_array=T_array, spherical_modes=spherical_modes,
-            precision=precision)
+            precision=precision,
+            engine="fast" if engine == "fast" else "batched")
     if engine in ("fast", "sharded"):
         if t0_method != "geq":
             raise ValueError(
@@ -319,11 +322,22 @@ def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,
                         t0_method="geq", T=100, res=50,
                         spherical_modes=None, delta=0.0, engine="batched",
                         precision="x64"):
-    """Mismatch over an (Mf, chif) grid (reference qnmfits.py:1304-1415)."""
+    """Mismatch over an (Mf, chif) grid (reference qnmfits.py:1304-1415).
+
+    engine: 'batched' (one jitted x64 sweep, default), 'fast' (the
+    split-complex TPU kernel -- host-side spectrum evaluation, one
+    spectrum-batched device sweep), or 'loop' (reference-style NumPy).
+    """
     if engine == "loop":
         return ref_impl.mismatch_M_chi_grid(
             times, data, modes, Mf_minmax, chif_minmax, t0, t0_method, T,
             res, spherical_modes, delta)
+    if engine == "fast":
+        from .batched import batch_mismatch_M_chi_fast
+        return batch_mismatch_M_chi_fast(
+            times, data, modes, Mf_minmax, chif_minmax, t0,
+            t0_method=t0_method, T=T, res=res,
+            spherical_modes=spherical_modes, delta=delta)
     from .batched import batch_mismatch_M_chi
     return batch_mismatch_M_chi(
         times, data, modes, Mf_minmax, chif_minmax, t0, t0_method=t0_method,
@@ -335,11 +349,20 @@ def mismatch_omega_grid(times, data, modes, Mf, chif, re_minmax, im_minmax,
                         t0, t0_method="geq", T=100, res=50,
                         engine="batched", precision="x64"):
     """Mismatch over a complex-frequency grid for one free mode
-    (reference qnmfits.py:1679-1827)."""
+    (reference qnmfits.py:1679-1827).
+
+    engine: 'batched' (default), 'fast' (split-complex TPU kernel), or
+    'loop' (reference-style NumPy).
+    """
     if engine == "loop":
         return ref_impl.mismatch_omega_grid(
             times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
             t0_method, T, res)
+    if engine == "fast":
+        from .batched import batch_mismatch_omega_fast
+        return batch_mismatch_omega_fast(
+            times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
+            t0_method=t0_method, T=T, res=res)
     from .batched import batch_mismatch_omega
     return batch_mismatch_omega(
         times, data, modes, Mf, chif, re_minmax, im_minmax, t0,

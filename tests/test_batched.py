@@ -296,3 +296,128 @@ class TestModesetSweep:
                                    rtol=0, atol=1e-13)
         np.testing.assert_allclose(np.asarray(Cre_v), np.asarray(Cre_s),
                                    rtol=0, atol=1e-10)
+
+
+class TestFastGrids:
+    """Split-complex TPU grid kernels == x64 batched grids."""
+
+    def test_M_chi_fast_matches_batched(self, syn):
+        kw = dict(t0=5.0, T=80.0, res=6)
+        mm_f = batched.batch_mismatch_M_chi_fast(
+            syn["times"], syn["data"], syn["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        mm_b = batched.batch_mismatch_M_chi(
+            syn["times"], syn["data"], syn["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_M_chi_fast_multimode_with_delta(self, syn_mm):
+        kw = dict(t0=5.0, T=80.0, res=5,
+                  spherical_modes=syn_mm["spherical_modes"], delta=0.01)
+        mm_f = batched.batch_mismatch_M_chi_fast(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        mm_b = batched.batch_mismatch_M_chi(
+            syn_mm["times"], syn_mm["data_dict"], syn_mm["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_M_chi_fast_closest_method(self, syn):
+        kw = dict(t0=5.03, T=80.0, res=4, t0_method="closest")
+        mm_f = batched.batch_mismatch_M_chi_fast(
+            syn["times"], syn["data"], syn["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        mm_b = batched.batch_mismatch_M_chi(
+            syn["times"], syn["data"], syn["modes"],
+            (0.9, 1.0), (0.6, 0.8), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_omega_fast_matches_batched(self, syn):
+        kw = dict(t0=5.0, T=80.0, res=6)
+        mm_f = batched.batch_mismatch_omega_fast(
+            syn["times"], syn["data"], syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05), **kw)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_omega_fast_no_fixed_modes(self, syn):
+        mm_f = batched.batch_mismatch_omega_fast(
+            syn["times"], syn["data"], [], None, None,
+            (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0, res=5)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], [], None, None,
+            (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0, res=5)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_public_engine_fast_dispatch(self, syn):
+        from qnmfits_tpu import fitting
+        mm_f = fitting.mismatch_M_chi_grid(
+            syn["times"], syn["data"], syn["modes"], (0.9, 1.0),
+            (0.6, 0.8), t0=5.0, T=80.0, res=4, engine="fast")
+        mm_b = fitting.mismatch_M_chi_grid(
+            syn["times"], syn["data"], syn["modes"], (0.9, 1.0),
+            (0.6, 0.8), t0=5.0, T=80.0, res=4)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+        om_f = fitting.mismatch_omega_grid(
+            syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+            syn["chif"], (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0,
+            res=4, engine="fast")
+        om_b = fitting.mismatch_omega_grid(
+            syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+            syn["chif"], (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0,
+            res=4)
+        np.testing.assert_allclose(om_f, om_b, rtol=0, atol=1e-11)
+
+
+def test_dynamic_fast_matches_batched():
+    """Split-complex dynamic sweep == complex x64 dynamic sweep."""
+    syn = synthetic_multimode(seed=21)
+    K = len(syn["times"])
+    Mf_t = np.linspace(0.98, syn["Mf"], K)
+    chif_t = np.linspace(0.6, syn["chif"], K)
+    t0s = np.linspace(0.0, 15.0, 6)
+    kw = dict(T_array=70.0, spherical_modes=syn["spherical_modes"])
+    mm_f, C_f = batched.batch_mismatch_t0_dynamic(
+        syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, t0s,
+        engine="fast", return_amplitudes=True, **kw)
+    mm_b, C_b = batched.batch_mismatch_t0_dynamic(
+        syn["times"], syn["data_dict"], syn["modes"], Mf_t, chif_t, t0s,
+        return_amplitudes=True, **kw)
+    np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(C_f, C_b, rtol=0, atol=1e-9)
+
+
+def test_dynamic_fast_closest_method():
+    syn = synthetic_multimode(seed=22)
+    K = len(syn["times"])
+    chif_t = np.linspace(0.6, syn["chif"], K)
+    t0s = np.linspace(0.03, 12.0, 4)
+    mm_f = batched.batch_mismatch_t0_dynamic(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"], chif_t,
+        t0s, t0_method="closest", T_array=70.0,
+        spherical_modes=syn["spherical_modes"], engine="fast")
+    mm_b = batched.batch_mismatch_t0_dynamic(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"], chif_t,
+        t0s, t0_method="closest", T_array=70.0,
+        spherical_modes=syn["spherical_modes"])
+    np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+
+def test_public_dynamic_fast_dispatch():
+    """mismatch_t0_array(engine='fast') with array Mf/chif routes to the
+    fast dynamic kernel (formerly raised)."""
+    from qnmfits_tpu import fitting
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=1e-3, seed=23)
+    K = len(syn["times"])
+    chif_t = np.linspace(0.6, syn["chif"], K)
+    t0s = np.linspace(0.0, 10.0, 4)
+    mm_f = fitting.mismatch_t0_array(
+        syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t, t0s,
+        T_array=70.0, engine="fast")
+    mm_b = fitting.mismatch_t0_array(
+        syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t, t0s,
+        T_array=70.0)
+    np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
