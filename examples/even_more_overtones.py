@@ -13,7 +13,6 @@ Run:  PYTHONPATH="/root/repo:$PYTHONPATH" python examples/even_more_overtones.py
 import numpy as np
 
 import qnmfits_tpu as qf
-from qnmfits_tpu.batched import batch_mismatch_t0_fast
 
 Mf, chif = 0.952, 0.692
 times = np.arange(-50.0, 150.0, 0.1)
@@ -28,10 +27,15 @@ amps = (rng.standard_normal(N_TOP) + 1j * rng.standard_normal(N_TOP)) \
 h22 = qf.ringdown(times, 0.0, amps, freqs)
 
 t0_array = np.linspace(-20.0, 40.0, 200)
+
+# All 21 ladders x 200 start times = 4200 multimode fits in ONE jitted
+# mode-set sweep (the reference runs this as a doubly nested Python
+# loop; a single ladder can also be swept with batch_mismatch_t0_fast).
+mode_sets = [[(2, 2, n, 1) for n in range(N)] for N in range(1, N_TOP + 1)]
+mm_all = qf.mismatch_t0_mode_sets(times, h22, mode_sets, Mf, chif,
+                                  t0_array)
 print("N_max  min-mismatch  best-t0")
-for N in range(1, N_TOP + 1):
-    modes = [(2, 2, n, 1) for n in range(N)]
-    mm = batch_mismatch_t0_fast(times, h22, modes, Mf, chif, t0_array)
+for N, mm in zip(range(1, N_TOP + 1), mm_all):
     k = int(np.argmin(mm))
     print(f"{N - 1:5d}  {mm[k]:.3e}     {t0_array[k]:+.1f}")
 
