@@ -96,8 +96,15 @@ class BaseWaveform:
     # -- frame handling ------------------------------------------------------
 
     def time_shift(self):
-        """Anchor t=0 by the requested method (reference Base.py:140-176)."""
-        if isinstance(self.zero_time, float):
+        """Anchor t=0 by the requested method (reference Base.py:140-176).
+
+        zero_time=None means no shift (the reference would crash on
+        `times - None` -- a latent fall-through for NRHybSur3dq8's
+        default args, Surrogate.py:288; deliberate delta, PARITY.md)."""
+        if self.zero_time is None:
+            self.zero_time = 0.0
+            self.zero_time_method = "Simulation default"
+        elif isinstance(self.zero_time, float):
             self.zero_time_method = ("Simulation default"
                                      if self.zero_time == 0
                                      else "User defined")

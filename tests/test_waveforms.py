@@ -126,3 +126,113 @@ def test_foft_zero_crossings(ringdown_waveform):
     assert abs(mid - abs(w220.real) / (2 * np.pi)) < 2e-3
     # restore default method for other tests
     wf.calculate_foft()
+
+
+# ---------------------------------------------------------------------------
+# Surrogate classes under a mocked gwsurrogate/surfinBH (the real
+# packages are optional installs in the reference too; the mock lets the
+# full pipeline -- evaluation, m<0 symmetry fill, remnant fits, fluxes,
+# rotations -- execute)
+# ---------------------------------------------------------------------------
+
+def _mock_surrogate_modules(monkeypatch, aligned, chif_vec):
+    import sys
+    import types
+
+    from qnmfits_tpu.ref_impl import get_qnm
+
+    Mf = 0.952
+    chif_mag = float(np.linalg.norm(chif_vec))
+    times = np.arange(0.0, 120.0, 0.1)
+    q = get_qnm()
+    rng = np.random.default_rng(3)
+
+    def make_h(ms_nonneg_only):
+        h = {}
+        for l in (2, 3, 4):
+            mrange = range(0, l + 1) if ms_nonneg_only else \
+                range(-l, l + 1)
+            for m in mrange:
+                if l == 4 and m == 0 and ms_nonneg_only:
+                    continue            # the class must zero-fill (4,0)
+                if abs(m) == l and l <= 3:
+                    w = q.omega(l, abs(m), 0, 1 if m >= 0 else -1,
+                                chif_mag, Mf)
+                    amp = rng.standard_normal() + 1j * rng.standard_normal()
+                    h[l, m] = amp * np.exp(-1j * w * times)
+                else:
+                    h[l, m] = np.zeros(len(times), complex)
+        return h
+
+    class _Sur:
+        def __init__(self, nonneg):
+            self.nonneg = nonneg
+
+        def __call__(self, q, chiA0, chiB0, f_low, f_ref, ellMax,
+                     precessing_opts=None):
+            return times.copy(), make_h(self.nonneg), {"mock": True}
+
+    gws = types.ModuleType("gwsurrogate")
+    gws.NRSur7dq4 = object()            # skip catalog.pull
+    gws.NRHybSur3dq8 = object()
+    gws.LoadSurrogate = lambda name: _Sur(nonneg=aligned)
+
+    class _Rem:
+        def mf(self, q, chi1, chi2, omega0=None):
+            return Mf, 1e-4
+
+        def chif(self, q, chi1, chi2, omega0=None):
+            return np.asarray(chif_vec, float), np.full(3, 1e-4)
+
+    sfb = types.ModuleType("surfinBH")
+    sfb.LoadFits = lambda name: _Rem()
+
+    monkeypatch.setitem(sys.modules, "gwsurrogate", gws)
+    monkeypatch.setitem(sys.modules, "surfinBH", sfb)
+    return Mf, chif_mag, times
+
+
+class TestSurrogatesMocked:
+    def test_import_gating_without_deps(self):
+        from qnmfits_tpu.waveforms import NRSur7dq4
+        with pytest.raises(ImportError, match="gwsurrogate"):
+            NRSur7dq4(q=1.2)
+
+    def test_nrsur7dq4_pipeline(self, monkeypatch):
+        from qnmfits_tpu.waveforms import NRSur7dq4
+
+        chif_vec = [0.1, 0.05, 0.68]    # precessing: chif off-axis
+        Mf, chif_mag, times = _mock_surrogate_modules(
+            monkeypatch, aligned=False, chif_vec=chif_vec)
+        wf = NRSur7dq4(q=1.5, chi1=[0.1, 0.0, 0.3], chi2=[0, 0, 0],
+                       transform="rotation")
+        assert wf.Mf == Mf
+        assert abs(wf.chif_mag - chif_mag) < 1e-14
+        assert wf.ellMax == 4
+        # rotation aligned the frame with chif
+        assert abs(wf.thetaf) > 1e-3    # original chif was off-axis
+        assert wf.Moft[0] > wf.Mf       # mass radiated away
+        np.testing.assert_allclose(wf.Moft[-1], wf.Mf, rtol=1e-10)
+        assert (2, 2) not in (() if wf.foft is None else ())  # foft ran
+        assert wf.foft[2, 2] is not None
+
+    def test_nrhybsur3dq8_symmetry_fill(self, monkeypatch):
+        from qnmfits_tpu.waveforms import NRHybSur3dq8
+
+        Mf, chif_mag, times = _mock_surrogate_modules(
+            monkeypatch, aligned=True, chif_vec=[0.0, 0.0, 0.69])
+        wf = NRHybSur3dq8(q=2.0, chi1=[0, 0, 0.2], chi2=[0, 0, -0.1])
+        # m<0 filled by the aligned-spin symmetry (-1)^l conj
+        np.testing.assert_allclose(
+            wf.h[2, -2], (-1) ** 2 * np.conj(wf.h[2, 2]))
+        np.testing.assert_allclose(
+            wf.h[3, -3], (-1) ** 3 * np.conj(wf.h[3, 3]))
+        # absent (4,0) zero-filled
+        np.testing.assert_allclose(wf.h[4, 0], 0.0)
+        assert wf.Mf == Mf
+        # remnant ringdown fit through the standard machinery works
+        from qnmfits_tpu import fitting
+        r = fitting.ringdown_fit(
+            wf.times, wf.h[2, 2], [(2, 2, 0, 1)], wf.Mf, wf.chif_mag,
+            t0=10.0)
+        assert r["mismatch"] < 1e-10    # data IS a (2,2,0) ringdown
