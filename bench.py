@@ -9,7 +9,7 @@ vmapped over the factored split-complex Gram kernel, f64).
 Configuration (synthetic SXS-0305-like ringdown):
   * K = 2001 time samples, I = 2 spherical modes (2,2), (3,2);
   * 16 mode sets: (2,2,n<=nmax) prograde ladders + mirror-augmented and
-    (3,2)-augmented variants, padded to a common J = 16;
+    (3,2)-augmented variants, padded to a common J = 8;
   * 2048 ringdown start times (dense 0.025M spacing over the same
     [-5, 46.2] range the round-1 bench swept at 512 points -- the
     larger sweep amortizes the ~29 ms per-dispatch RPC latency of the

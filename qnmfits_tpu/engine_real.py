@@ -6,8 +6,8 @@ complex elementwise/reduce lowerings are UNIMPLEMENTED.  This module
 therefore expresses the entire ringdown fit in split-complex form: every
 complex quantity z is carried as (Re z, Im z) pairs of real arrays, the
 design-matrix Gram assembly becomes four real matmuls (pure MXU work),
-and the J x J solve is the 2x2 real-embedded Cholesky.  No complex dtype
-ever touches the device.
+and the J x J solve is a split-complex Hermitian Cholesky (real/imag
+pairs, real diagonal).  No complex dtype ever touches the device.
 
 This is also the honest "speed-of-light" formulation: XLA's own complex
 arithmetic decomposes into exactly these real ops, minus the unsupported
@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.chol import cholesky_solve_unrolled
+from .ops.chol import (cholesky_solve_unrolled,
+                       complex_cholesky_solve_unrolled)
 
 __all__ = ["fit_core_real", "sweep_t0_real", "sweep_spectra_real",
            "split", "merge"]
@@ -48,8 +49,8 @@ def _trapz_weights(times, w):
     return jnp.concatenate([seg, zero]) + jnp.concatenate([zero, seg])
 
 
-def _regularised_embed(Gre, Gim, bre, bim):
-    """Equilibrate, auto-mask numerically dead columns, embed, floor.
+def _equilibrated(Gre, Gim, bre, bim):
+    """Equilibrate, auto-mask numerically dead columns, floor.
 
     Batched: Gre/Gim (..., J, J), bre/bim (..., J).  Columns whose Gram
     diagonal underflows (heavily damped modes invisible in the window)
@@ -57,6 +58,9 @@ def _regularised_embed(Gre, Gim, bre, bim):
     machine-epsilon Tikhonov floor bounds the equilibrated condition
     number -- the Gram-domain analogue of np.linalg.lstsq's rcond
     truncation for kappa(A)^2 beyond Cholesky range.
+
+    Returns (A, B, bre', bim', Di): the unit-diagonal complex Hermitian
+    system A + iB with scaled rhs, and the diagonal unscaling Di.
     """
     J = Gre.shape[-1]
     diag = jnp.diagonal(Gre, axis1=-2, axis2=-1)
@@ -87,23 +91,41 @@ def _regularised_embed(Gre, Gim, bre, bim):
     B = Gim * Di[..., :, None] * Di[..., None, :]
     floor = 500.0 * J * eps
     A = A + floor * eye
+    return A, B, bre * Di, bim * Di, Di
+
+
+def _regularised_embed(Gre, Gim, bre, bim):
+    """Equilibrated system in the real 2x2 embedding (kept for the
+    perf scripts and as the reference formulation; the shipped solve
+    path is _regularised_solve)."""
+    A, B, br, bi, Di = _equilibrated(Gre, Gim, bre, bim)
     top = jnp.concatenate([A, -B], axis=-1)
     bot = jnp.concatenate([B, A], axis=-1)
     E = jnp.concatenate([top, bot], axis=-2)
-    b = jnp.concatenate([bre * Di, bim * Di], axis=-1)
+    b = jnp.concatenate([br, bi], axis=-1)
     return E, b, Di
 
 
-def _embedded_solve(Gre, Gim, bre, bim):
-    """Equilibrated Hermitian solve via the real 2x2 embedding.
+def _regularised_solve(Gre, Gim, bre, bim):
+    """Equilibrated Hermitian solve via split-complex Cholesky.
 
-    G = Gre + i Gim (Hermitian PD, (J, J)); b = bre + i bim (J,).
-    Returns (xre, xim).
+    Batched: Gre/Gim (B, J, J), bre/bim (B, J).  Returns (xre, xim).
+    Identical regularisation semantics to the former 2Jx2J real
+    embedding (the embedding duplicates the complex eigenvalues, so the
+    diagonal floor acts identically), at 2x fewer flops and half the
+    unrolled columns -- the batched solve is the factored sweep's
+    dominant stage (PERF.md, scripts/perf_decompose.py).
     """
-    E, b, Di = _regularised_embed(Gre, Gim, bre, bim)
-    x = cholesky_solve_unrolled(E[None], b[None])[0]
-    J = Gre.shape[-1]
-    return x[:J] * Di, x[J:] * Di
+    A, B, br, bi, Di = _equilibrated(Gre, Gim, bre, bim)
+    xre, xim = complex_cholesky_solve_unrolled(A, B, br, bi)
+    return xre * Di, xim * Di
+
+
+def _embedded_solve(Gre, Gim, bre, bim):
+    """Unbatched (J,)-system wrapper around _regularised_solve."""
+    xre, xim = _regularised_solve(Gre[None], Gim[None],
+                                  bre[None], bim[None])
+    return xre[0], xim[0]
 
 
 def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
@@ -409,10 +431,7 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         rhs_im = jnp.where(keep[None], rhs_im, 0.0)
 
     # Batched equilibrated real-embedded solve.
-    Emb, bvec, Di = _regularised_embed(G_re, G_im, rhs_re, rhs_im)
-    x = cholesky_solve_unrolled(Emb, bvec)
-    C0re = x[:, :J] * Di
-    C0im = x[:, J:] * Di
+    C0re, C0im = _regularised_solve(G_re, G_im, rhs_re, rhs_im)
 
     # Mismatch (phase-invariant; uses the phi0-basis quantities).
     num = jnp.sum(C0re * rt_re + C0im * rt_im, axis=-1)
@@ -583,10 +602,7 @@ def _chunk_sweep_suffix(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         rhs_re = jnp.where(keep[None], rhs_re, 0.0)
         rhs_im = jnp.where(keep[None], rhs_im, 0.0)
 
-    Emb, bvec, Di = _regularised_embed(G_re, G_im, rhs_re, rhs_im)
-    x = cholesky_solve_unrolled(Emb, bvec)
-    C0re = x[:, :J] * Di
-    C0im = x[:, J:] * Di
+    C0re, C0im = _regularised_solve(G_re, G_im, rhs_re, rhs_im)
 
     num = jnp.sum(C0re * rt_re + C0im * rt_im, axis=-1)
     GC_re = jnp.einsum("bjl,bl->bj", G2_re, C0re) \

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["cholesky_solve_unrolled"]
+__all__ = ["cholesky_solve_unrolled", "complex_cholesky_solve_unrolled"]
 
 
 def cholesky_solve_unrolled(E, b):
@@ -59,3 +59,81 @@ def cholesky_solve_unrolled(E, b):
         x[j] = acc / cols[j][:, 0]
 
     return jnp.stack(x, axis=-1)
+
+
+def complex_cholesky_solve_unrolled(Gre, Gim, bre, bim):
+    """Solve the Hermitian positive-definite system G x = b in
+    split-complex form: G = Gre + i Gim (B, n, n), b = bre + i bim
+    (B, n); returns (xre, xim) each (B, n).
+
+    Complex LL^H Cholesky with static column unroll.  Versus embedding
+    into the real 2n x 2n form this is 2x fewer flops and half the
+    unrolled columns (4x less stacked-temporary HBM traffic) -- the
+    batched solve is the dominant stage of the factored t0 sweep
+    (scripts/perf_decompose.py; PERF.md).  The diagonal of L is real
+    (Hermitian G), so every division/scale is by a real scalar.
+    """
+    B, n, _ = Gre.shape
+    cre, cim = [], []               # L columns: cre[j]/cim[j] are (B, n-j)
+    for j in range(n):
+        sre = Gre[:, j:, j]
+        sim = Gim[:, j:, j]
+        if j:
+            # Subtract sum_{k<j} L[j:, k] * conj(L[j, k]).
+            Lre = jnp.stack([cre[k][:, j - k:] for k in range(j)], axis=-1)
+            Lim = jnp.stack([cim[k][:, j - k:] for k in range(j)], axis=-1)
+            lre = jnp.stack([cre[k][:, j - k] for k in range(j)], axis=-1)
+            lim = jnp.stack([cim[k][:, j - k] for k in range(j)], axis=-1)
+            # (a+ib)(c-id) = ac+bd + i(bc-ad), summed over k.
+            sre = sre - jnp.einsum("bik,bk->bi", Lre, lre) \
+                - jnp.einsum("bik,bk->bi", Lim, lim)
+            sim = sim - jnp.einsum("bik,bk->bi", Lim, lre) \
+                + jnp.einsum("bik,bk->bi", Lre, lim)
+        d = jnp.sqrt(sre[:, 0])                       # L[j,j] real > 0
+        inv = 1.0 / d
+        cre.append(sre * inv[:, None])
+        # L[j,j] imag is exactly 0 for Hermitian G; the [:, 0] slot of
+        # cim[j] carries rounding noise but is never read below (every
+        # consumer indexes at offset >= 1 or stacks over k < j).
+        cim.append(sim * inv[:, None])
+
+    # Forward substitution: L y = b.
+    yre, yim = [], []
+    for j in range(n):
+        are = bre[:, j]
+        aim = bim[:, j]
+        if j:
+            lre = jnp.stack([cre[k][:, j - k] for k in range(j)], axis=-1)
+            lim = jnp.stack([cim[k][:, j - k] for k in range(j)], axis=-1)
+            Yre = jnp.stack(yre, axis=-1)
+            Yim = jnp.stack(yim, axis=-1)
+            # L[j,k] * y_k (plain complex product).
+            are = are - jnp.einsum("bk,bk->b", lre, Yre) \
+                + jnp.einsum("bk,bk->b", lim, Yim)
+            aim = aim - jnp.einsum("bk,bk->b", lre, Yim) \
+                - jnp.einsum("bk,bk->b", lim, Yre)
+        inv = 1.0 / cre[j][:, 0]
+        yre.append(are * inv)
+        yim.append(aim * inv)
+
+    # Back substitution: L^H x = y, i.e. x_j uses conj(L[i,j]) for i>j.
+    xre = [None] * n
+    xim = [None] * n
+    for j in range(n - 1, -1, -1):
+        are = yre[j]
+        aim = yim[j]
+        if j < n - 1:
+            lre = cre[j][:, 1:]                       # L[i,j], i>j
+            lim = cim[j][:, 1:]
+            Xre = jnp.stack(xre[j + 1:], axis=-1)
+            Xim = jnp.stack(xim[j + 1:], axis=-1)
+            # conj(L[i,j]) * x_i = (a-ib)(c+id) = ac+bd + i(ad-bc).
+            are = are - jnp.einsum("bk,bk->b", lre, Xre) \
+                - jnp.einsum("bk,bk->b", lim, Xim)
+            aim = aim - jnp.einsum("bk,bk->b", lre, Xim) \
+                + jnp.einsum("bk,bk->b", lim, Xre)
+        inv = 1.0 / cre[j][:, 0]
+        xre[j] = are * inv
+        xim[j] = aim * inv
+
+    return jnp.stack(xre, axis=-1), jnp.stack(xim, axis=-1)
