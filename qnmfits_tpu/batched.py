@@ -41,6 +41,19 @@ def _canon(modes):
     return tuple(tuple(int(x) for x in m) for m in modes)
 
 
+def _on_host():
+    """Context manager pinning eager evaluation to the CPU.
+
+    Every fast path evaluates the complex-valued spectrum splines (and
+    windows) eagerly before shipping split-real arrays to the device;
+    those complex arrays must never land on the TPU default device
+    (no complex128 there).  One shared guard keeps that invariant in
+    one place.
+    """
+    from .engine import cpu_device
+    return jax.default_device(cpu_device())
+
+
 def sweep_t0_core(times, data, omega, mu, t0s, Ts, t0_method: str,
                   cdtype, col_mask=None, chunk: int = _CHUNK):
     """Mismatch + amplitudes for a batch of (t0, T) windows.
@@ -270,8 +283,7 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
     if engine == "fast":
         ev = SpectrumEvaluator(list(_canon(modes)),
                                list(sph) if sph else None)
-        from .engine import cpu_device
-        with jax.default_device(cpu_device()):
+        with _on_host():
             omega_t = np.asarray(ev.omega(chif_t, Mf_t)).T      # (K, J)
             if sph is None:
                 mu_t = np.ones((1,) + omega_t.shape, complex)
@@ -360,8 +372,7 @@ def _prep_fast(times, data, modes, Mf, chif, t0_array, T_array,
     df = np.asarray(_delta_factor(delta, len(modes)))
     ev_full = SpectrumEvaluator(list(_canon(modes)),
                                 list(sph) if sph else None)
-    from .engine import cpu_device
-    with jax.default_device(cpu_device()):
+    with _on_host():
         omega = np.asarray(ev_full.omega(float(chif), float(Mf), df))
         mu = (np.ones((1, omega.shape[0]), complex) if sph is None
               else np.asarray(ev_full.mu(float(chif))))
@@ -427,8 +438,7 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
     ev = SpectrumEvaluator(list(_canon(modes)),
                            list(sph) if sph else None)
     df = np.asarray(_delta_factor(delta, len(modes)))
-    from .engine import cpu_device
-    with jax.default_device(cpu_device()):
+    with _on_host():
         # (J, Q) -> (Q, J); omega() divides by Mf with (J, Q)/(Q,)
         # broadcasting.
         omegas = np.asarray(ev.omega(CC.ravel(), MM.ravel(), df)).T
@@ -438,7 +448,7 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
             mus = np.moveaxis(np.asarray(ev.mu(CC.ravel())), -1, 0)
 
     window = window_geq if t0_method == "geq" else window_closest
-    with jax.default_device(cpu_device()):
+    with _on_host():
         w = np.asarray(window(times, float(t0), float(T)), float)
     _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
     return mm.reshape(res, res)
@@ -457,11 +467,13 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     RE, IM = np.meshgrid(re, im, indexing="ij")
     wf = (RE + 1j * IM).ravel()
 
-    from .engine import cpu_device
     if modes:
+        # None defaults mirror batch_mismatch_omega (Mf=1, chif=0).
         ev = SpectrumEvaluator(list(_canon(modes)))
-        with jax.default_device(cpu_device()):
-            fixed = np.asarray(ev.omega(float(chif), float(Mf)))
+        with _on_host():
+            fixed = np.asarray(ev.omega(
+                float(chif) if chif is not None else 0.0,
+                float(Mf) if Mf is not None else 1.0))
     else:
         fixed = np.zeros((0,), complex)
     Q = wf.shape[0]
@@ -470,7 +482,7 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     mus = np.ones((Q, 1, omegas.shape[1]), complex)
 
     window = window_geq if t0_method == "geq" else window_closest
-    with jax.default_device(cpu_device()):
+    with _on_host():
         w = np.asarray(window(times, float(t0), float(T)), float)
     _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
     return mm.reshape(res, res).T
@@ -516,8 +528,7 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     omegas = np.zeros((S, J), complex)
     mus = np.zeros((S, I, J), complex)
     masks = np.zeros((S, J), bool)
-    from .engine import cpu_device
-    with jax.default_device(cpu_device()):
+    with _on_host():
         for si, ms in enumerate(sets):
             ev = SpectrumEvaluator(ms, list(sph) if sph else None)
             omegas[si, :len(ms)] = np.asarray(

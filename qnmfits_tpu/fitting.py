@@ -268,6 +268,11 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
             raise ValueError(
                 "engine='sharded' needs a static spectrum; use "
                 "engine='batched' or 'fast' for time-dependent Mf/chif")
+        if np.any(np.asarray(delta)):
+            # Same rule as batched.batch_mismatch_t0: the reference's
+            # dynamic fits take no delta (qnmfits.py:318-475).
+            raise ValueError("delta is not supported for dynamic-spectrum "
+                             "fits (time-dependent Mf/chif)")
         from .batched import batch_mismatch_t0_dynamic
         return batch_mismatch_t0_dynamic(
             times, data, modes, Mf, chif, t0_array, t0_method=t0_method,

@@ -198,12 +198,15 @@ class SpectrumTables:
                   f"demand (not in baked tables; result is cached)...",
                   file=sys.stderr, flush=True)
             try:
-                seeds = schwarzschild_seeds(l_max=max(l, 2, abs(self.s)),
-                                            n_max=n, s=self.s,
+                # l_max equals the requested l so ITS ladder is solved to
+                # n in full; lower-l ladders (needed only for the n=0
+                # extrapolation chain) stay capped at n=0 and never walk
+                # into the l=2 algebraically special point.
+                seeds = schwarzschild_seeds(l_max=l, n_max=n, s=self.s,
                                             n_max_low_l=0)
                 w, A, C = track_mode(l, m, n, seeds[(l, n)], self.chi,
                                      s=self.s)
-            except RuntimeError as e:
+            except (RuntimeError, KeyError) as e:
                 raise KeyError(
                     f"mode {key} is outside the baked tables and the "
                     f"on-demand solve failed ({e}).  Deep overtone "

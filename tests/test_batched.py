@@ -421,3 +421,29 @@ def test_public_dynamic_fast_dispatch():
         syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t, t0s,
         T_array=70.0)
     np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+
+def test_omega_fast_none_Mf_chif_with_fixed_modes(syn):
+    """None Mf/chif must behave like the batched engine (Mf=1, chif=0),
+    not crash (regression: float(None) TypeError)."""
+    kw = dict(t0=5.0, T=80.0, res=4)
+    mm_f = batched.batch_mismatch_omega_fast(
+        syn["times"], syn["data"], syn["modes"][:1], None, None,
+        (0.3, 0.8), (-0.4, -0.05), **kw)
+    mm_b = batched.batch_mismatch_omega(
+        syn["times"], syn["data"], syn["modes"][:1], None, None,
+        (0.3, 0.8), (-0.4, -0.05), **kw)
+    np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+
+def test_mismatch_t0_array_dynamic_delta_raises():
+    """The public dispatcher rejects delta with a dynamic spectrum like
+    the batched layer does (regression: it silently dropped delta)."""
+    from qnmfits_tpu import fitting
+    syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=44)
+    K = len(syn["times"])
+    chif_t = np.linspace(0.6, syn["chif"], K)
+    with pytest.raises(ValueError, match="delta"):
+        fitting.mismatch_t0_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t,
+            np.linspace(0.0, 10.0, 3), delta=0.01)

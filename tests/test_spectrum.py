@@ -194,3 +194,23 @@ class TestOnDemandSolve:
             t.compile_modes([(1, 1, 0, 1)])     # l < |s| for s=-2
         with pytest.raises(KeyError):
             t.compile_modes([(3, 4, 0, 1)])     # |m| > l
+
+
+def test_schwarzschild_seeds_full_ladder_for_requested_l():
+    """The requested l's own overtone ladder is solved in full even when
+    it is not the largest l in the chain (regression: the on-demand
+    solve for s=0, l<2 overtones hit a bare KeyError because
+    n_max_low_l=0 capped the requested ladder at n=0)."""
+    from qnmfits_tpu.spectrum.solver import schwarzschild_seeds
+
+    seeds = schwarzschild_seeds(l_max=0, n_max=3, s=0, n_max_low_l=0)
+    assert (0, 3) in seeds
+    # published Schwarzschild scalar fundamental (Berti et al. 2009)
+    assert abs(seeds[(0, 0)] - (0.110455 - 0.104896j)) < 1e-4
+
+
+def test_on_demand_invalid_mode_friendly_error():
+    from qnmfits_tpu.spectrum.tables import default_tables
+    t = default_tables()
+    with pytest.raises(KeyError, match="invalid mode"):
+        t._row_for((1, 0, 0))       # l < |s| for s=-2
