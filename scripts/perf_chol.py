@@ -66,6 +66,57 @@ def scalarized_complex_chol_solve(Gre, Gim, bre, bim):
     return jnp.stack(xre, axis=-1), jnp.stack(xim, axis=-1)
 
 
+
+def rightlooking_complex_chol_solve(Gre, Gim, bre, bim):
+    """Right-looking: one fused outer-product trailing update per column
+    (no stacked gathers during factorization)."""
+    import jax.numpy as jnp
+
+    B, n, _ = Gre.shape
+    Sre, Sim = Gre, Gim
+    cols_re, cols_im, invs = [], [], []
+    for j in range(n):
+        d = jnp.sqrt(Sre[:, 0, 0])
+        inv = 1.0 / d
+        cre_ = Sre[:, :, 0] * inv[:, None]          # (B, n-j)
+        cim_ = Sim[:, :, 0] * inv[:, None]
+        cols_re.append(cre_)
+        cols_im.append(cim_)
+        invs.append(inv)
+        if j < n - 1:
+            a_re, a_im = cre_[:, 1:], cim_[:, 1:]
+            Sre = Sre[:, 1:, 1:] - (a_re[:, :, None] * a_re[:, None, :]
+                                    + a_im[:, :, None] * a_im[:, None, :])
+            Sim = Sim[:, 1:, 1:] - (a_im[:, :, None] * a_re[:, None, :]
+                                    - a_re[:, :, None] * a_im[:, None, :])
+
+    yre, yim = bre, bim
+    ys_re, ys_im = [], []
+    for j in range(n):
+        h_re = yre[:, 0] * invs[j]
+        h_im = yim[:, 0] * invs[j]
+        ys_re.append(h_re)
+        ys_im.append(h_im)
+        if j < n - 1:
+            a_re, a_im = cols_re[j][:, 1:], cols_im[j][:, 1:]
+            yre = yre[:, 1:] - (a_re * h_re[:, None] - a_im * h_im[:, None])
+            yim = yim[:, 1:] - (a_re * h_im[:, None] + a_im * h_re[:, None])
+
+    xre = [None] * n
+    xim = [None] * n
+    for j in range(n - 1, -1, -1):
+        s_re, s_im = ys_re[j], ys_im[j]
+        if j < n - 1:
+            a_re, a_im = cols_re[j][:, 1:], cols_im[j][:, 1:]
+            Xre = jnp.stack(xre[j + 1:], axis=-1)
+            Xim = jnp.stack(xim[j + 1:], axis=-1)
+            s_re = s_re - jnp.sum(a_re * Xre + a_im * Xim, axis=-1)
+            s_im = s_im - jnp.sum(a_re * Xim - a_im * Xre, axis=-1)
+        xre[j] = s_re * invs[j]
+        xim[j] = s_im * invs[j]
+    return jnp.stack(xre, axis=-1), jnp.stack(xim, axis=-1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -109,6 +160,11 @@ def main():
         el, cs, out = bench(jax.jit(complex_cholesky_solve_unrolled),
                             (Gd, Gimd, rd, rd))
         print(f"column-unrolled J={J}: {el*1e3:7.1f} ms "
+              f"(compile {cs:.0f} s)  vs-numpy={acc(out):.2e}", flush=True)
+    if which in ("both", "rightlooking"):
+        el, cs, out = bench(jax.jit(rightlooking_complex_chol_solve),
+                            (Gd, Gimd, rd, rd))
+        print(f"right-looking   J={J}: {el*1e3:7.1f} ms "
               f"(compile {cs:.0f} s)  vs-numpy={acc(out):.2e}", flush=True)
     if which in ("both", "scalarized"):
         el, cs, out = bench(jax.jit(scalarized_complex_chol_solve),

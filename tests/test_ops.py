@@ -93,3 +93,82 @@ class TestSafeChunk:
     def test_no_damping_no_limit(self):
         from qnmfits_tpu.batched import _safe_chunk
         assert _safe_chunk(np.linspace(0, 100, 64), 0.0, 256) == 256
+
+
+class TestDoubleSingle:
+    """ops/ds.py primitives vs native float64 (eager execution -- jitted
+    whole-graph XLA:CPU applies excess-precision rewrites that break
+    error-free transformations; Mosaic on real TPU does not, see
+    ops/chol_pallas.py)."""
+
+    def test_primitives_match_f64(self):
+        import jax.numpy as jnp
+        from qnmfits_tpu.ops import ds
+        rng = np.random.default_rng(0)
+        a64 = rng.standard_normal(2000) * 10.0 ** rng.integers(-3, 4, 2000)
+        b64 = rng.standard_normal(2000) * 10.0 ** rng.integers(-3, 4, 2000)
+        a = ds.ds_from_f64(jnp.asarray(a64))
+        b = ds.ds_from_f64(jnp.asarray(b64))
+        # exact values of the ds-rounded inputs (ds carries ~48 bits)
+        ae = np.asarray(a[0], np.float64) + np.asarray(a[1], np.float64)
+        be = np.asarray(b[0], np.float64) + np.asarray(b[1], np.float64)
+
+        def relerr(got, want):
+            got = np.asarray(ds.ds_to_f64(got))
+            return np.max(np.abs((got - want)
+                                 / np.maximum(np.abs(want), 1e-300)))
+
+        assert relerr(ds.ds_add(a, b), ae + be) < 3e-14
+        assert relerr(ds.ds_mul(a, b), ae * be) < 3e-14
+        pos = ds.ds_from_f64(jnp.asarray(np.abs(a64) + 0.1))
+        pe = np.asarray(pos[0], np.float64) + np.asarray(pos[1], np.float64)
+        assert relerr(ds.ds_rsqrt(pos), 1 / np.sqrt(pe)) < 3e-14
+
+    def test_ds_cholesky_math_vs_numpy(self):
+        """_solve_values (the kernel's math) eagerly on CPU vs
+        numpy.linalg.solve: full ds accuracy."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.ops.chol_pallas import _solve_values
+        from qnmfits_tpu.ops.ds import ds_from_f64
+        rng = np.random.default_rng(2)
+        B, n = 32, 6
+        M = rng.standard_normal((B, n, 2 * n)) \
+            + 1j * rng.standard_normal((B, n, 2 * n))
+        G = M @ np.conj(np.swapaxes(M, -1, -2)) + 2 * np.eye(n)[None]
+        b = rng.standard_normal((B, n)) + 1j * rng.standard_normal((B, n))
+        xref = np.stack([np.linalg.solve(G[i], b[i]) for i in range(B)])
+        args = []
+        for Mx in (jnp.transpose(jnp.asarray(G.real), (1, 2, 0)),
+                   jnp.transpose(jnp.asarray(G.imag), (1, 2, 0))):
+            args.extend(ds_from_f64(Mx))
+        for v in (jnp.asarray(b.real).T, jnp.asarray(b.imag).T):
+            args.extend(ds_from_f64(v))
+        rh, rl, ih, il = _solve_values(n, *args)
+        x = (np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+             + 1j * (np.asarray(ih, np.float64)
+                     + np.asarray(il, np.float64))).T
+        rel = np.max(np.abs(x - xref) / np.maximum(np.abs(xref), 1e-10))
+        assert rel < 1e-12
+
+    def test_pallas_plumbing_interpret_mode(self):
+        """Jitted interpret-mode run checks the pallas_call layout,
+        padding, and grid plumbing.  Tolerance is loose because jitted
+        XLA:CPU applies excess-precision rewrites that degrade the ds
+        arithmetic to ~f32 (Mosaic on real TPU does not: 7e-14 measured
+        on hardware, PERF.md)."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.ops.chol_pallas import complex_cholesky_solve_ds
+        rng = np.random.default_rng(3)
+        B, n = 37, 3                     # B not a multiple of tile
+        M = rng.standard_normal((B, n, 2 * n))
+        G = M @ np.swapaxes(M, -1, -2) + 2 * np.eye(n)[None]
+        b = rng.standard_normal((B, n))
+        xref = np.stack([np.linalg.solve(G[i], b[i]) for i in range(B)])
+        xre, xim = complex_cholesky_solve_ds(
+            jnp.asarray(G), jnp.asarray(np.zeros_like(G)),
+            jnp.asarray(b), jnp.asarray(np.zeros_like(b)),
+            tile=16, interpret=True)
+        assert xre.shape == (B, n)
+        np.testing.assert_allclose(np.asarray(xre), xref, rtol=2e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(xim), 0.0, atol=1e-5)
