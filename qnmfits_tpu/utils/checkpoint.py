@@ -1,0 +1,94 @@
+"""Chunk-level checkpointing for long sweeps.
+
+The reference has no recovery story at all (its sweeps are single
+serial Python loops, SURVEY.md section 5); the TPU-native equivalent
+of elastic recovery for this workload is block-level checkpointing of
+batched sweeps: a long sweep is split into blocks, each completed
+block's results are persisted immediately, and a re-run (after a
+preemption, OOM, or crash) resumes from the first missing block.
+
+Usage::
+
+    from qnmfits_tpu.utils.checkpoint import resumable_sweep
+
+    mm = resumable_sweep(
+        lambda t0_block: qf.mismatch_t0_array(
+            times, data, modes, Mf, chif, t0_block, engine="fast"),
+        t0_array, "sweep_ckpt", block=4096)
+
+The checkpoint directory holds one ``block_#####.npz`` per completed
+block plus ``meta.npz`` recording the item array and block size; a
+resume against different items or block size raises instead of
+silently mixing results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["resumable_sweep"]
+
+
+def _as_tuple(out):
+    return out if isinstance(out, tuple) else (out,)
+
+
+def resumable_sweep(fn_block, items, path, block: int = 4096,
+                    progress: bool = False):
+    """Run ``fn_block(items[a:b])`` over consecutive blocks of ``items``
+    with per-block persistence to directory ``path``.
+
+    fn_block must return an ndarray whose FIRST axis matches the block
+    length, or a tuple of such arrays.  Returns the concatenated
+    result(s) over all items (same structure as fn_block's output).
+    Completed blocks found in ``path`` are loaded instead of recomputed.
+    """
+    items = np.asarray(items)
+    n = items.shape[0]
+    n_blocks = -(-n // block)
+    os.makedirs(path, exist_ok=True)
+
+    meta_file = os.path.join(path, "meta.npz")
+    if os.path.exists(meta_file):
+        meta = np.load(meta_file)
+        if int(meta["block"]) != block or not np.array_equal(
+                meta["items"], items):
+            raise ValueError(
+                f"checkpoint at {path!r} was written for a different "
+                f"sweep configuration (items/block changed); use a new "
+                f"path or delete it")
+    else:
+        np.savez(meta_file, items=items, block=block)
+
+    outs = []
+    for bi in range(n_blocks):
+        bfile = os.path.join(path, f"block_{bi:05d}.npz")
+        if os.path.exists(bfile):
+            z = np.load(bfile)
+            outs.append(tuple(z[k] for k in sorted(z.files)))
+            continue
+        a, b = bi * block, min((bi + 1) * block, n)
+        res = _as_tuple(fn_block(items[a:b]))
+        for r in res:
+            if np.asarray(r).shape[0] != b - a:
+                raise ValueError(
+                    "fn_block must return arrays whose first axis "
+                    f"matches the block length ({b - a}); got "
+                    f"{np.asarray(r).shape}")
+        # Atomic-ish write: temp file then rename, so an interrupt
+        # mid-save never leaves a truncated block behind.  (np.savez
+        # appends .npz to names without the extension, so keep it.)
+        tmp = bfile[:-4] + ".tmp.npz"
+        np.savez(tmp, **{f"out{k}": np.asarray(r)
+                         for k, r in enumerate(res)})
+        os.replace(tmp, bfile)
+        outs.append(tuple(np.asarray(r) for r in res))
+        if progress:
+            print(f"checkpoint: block {bi + 1}/{n_blocks} done",
+                  flush=True)
+
+    cat = tuple(np.concatenate([o[k] for o in outs], axis=0)
+                for k in range(len(outs[0])))
+    return cat if len(cat) > 1 else cat[0]

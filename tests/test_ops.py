@@ -172,3 +172,79 @@ class TestDoubleSingle:
         np.testing.assert_allclose(np.asarray(xre), xref, rtol=2e-4,
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(xim), 0.0, atol=1e-5)
+
+
+class TestResumableSweep:
+    def test_runs_and_resumes(self, tmp_path):
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        items = np.arange(10.0)
+        calls = []
+
+        def fn(block):
+            calls.append(len(block))
+            return block * 2, block + 1
+
+        out = resumable_sweep(fn, items, str(tmp_path / "ck"), block=4)
+        np.testing.assert_allclose(out[0], items * 2)
+        np.testing.assert_allclose(out[1], items + 1)
+        assert calls == [4, 4, 2]
+
+        # resume: nothing recomputed
+        calls.clear()
+        out2 = resumable_sweep(fn, items, str(tmp_path / "ck"), block=4)
+        assert calls == []
+        np.testing.assert_allclose(out2[0], items * 2)
+
+    def test_partial_resume(self, tmp_path):
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        items = np.arange(8.0)
+        state = {"fail": True}
+
+        def fn(block):
+            if state["fail"] and block[0] >= 4:
+                raise RuntimeError("preempted")
+            return block ** 2
+
+        with pytest.raises(RuntimeError):
+            resumable_sweep(fn, items, str(tmp_path / "ck"), block=4)
+        state["fail"] = False
+        calls = []
+
+        def fn2(block):
+            calls.append(int(block[0]))
+            return block ** 2
+
+        out = resumable_sweep(fn2, items, str(tmp_path / "ck"), block=4)
+        np.testing.assert_allclose(out, items ** 2)
+        assert calls == [4]              # only the missing block reran
+
+    def test_config_change_raises(self, tmp_path):
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        items = np.arange(6.0)
+        resumable_sweep(lambda b: b, items, str(tmp_path / "ck"), block=3)
+        with pytest.raises(ValueError, match="different"):
+            resumable_sweep(lambda b: b, items, str(tmp_path / "ck"),
+                            block=2)
+        with pytest.raises(ValueError, match="different"):
+            resumable_sweep(lambda b: b, items + 1.0,
+                            str(tmp_path / "ck"), block=3)
+
+    def test_real_sweep_through_checkpoint(self, tmp_path):
+        """End-to-end: a t0 sweep through the checkpoint wrapper equals
+        the direct sweep."""
+        from qnmfits_tpu import fitting
+        from qnmfits_tpu.testing import synthetic_single
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+
+        syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                               noise=1e-3, seed=17)
+        t0s = np.linspace(0.0, 20.0, 10)
+
+        def fn(block):
+            return fitting.mismatch_t0_array(
+                syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                syn["chif"], block, T_array=70.0)
+
+        mm = resumable_sweep(fn, t0s, str(tmp_path / "ck"), block=4)
+        mm_direct = fn(t0s)
+        np.testing.assert_allclose(mm, mm_direct, rtol=0, atol=1e-13)
