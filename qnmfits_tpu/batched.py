@@ -424,7 +424,7 @@ def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk):
 
 def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
                               t0, t0_method="geq", T=100, res=50,
-                              spherical_modes=None, delta=0.0, chunk=128):
+                              spherical_modes=None, delta=0.0, chunk=64):
     """(Mf, chif) grid on the split-complex TPU kernel (hot loop #2,
     reference qnmfits.py:1304-1415): the spectrum is spline-evaluated
     host-side for every grid point at once, the res^2 Gram solves run
@@ -456,7 +456,7 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
 
 def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
                               im_minmax, t0, t0_method="geq", T=100,
-                              res=50, chunk=128):
+                              res=50, chunk=64):
     """Complex-frequency grid on the split-complex TPU kernel (hot loop
     #3, reference qnmfits.py:1679-1827): fixed QNM frequencies plus one
     free frequency per grid point, one jitted spectrum-batched sweep.
