@@ -44,11 +44,14 @@ for n in (8, 9):
     print(f"omega(2,2,{n}) at chif={chif}: "
           f"{qf.qnm.omega(2, 2, n, 1, chif, Mf):.6f}")
 
-# Remnant recovery with the n<=7 ladder (reference: calculate_epsilon
-# over N<=20 ladders).  t0=10: the injected deep overtones (amplitudes
-# up to 30x the fundamental) have decayed, so the truncated model is
-# faithful in the window.
-eps, Mf_b, chif_b = qf.calculate_epsilon(
-    times, h22, [(2, 2, n, 1) for n in range(8)], Mf, chif, t0=10.0)
-print(f"epsilon (n<=7 ladder, t0=10): {eps:.3e} "
-      f"(Mf*={Mf_b:.6f}, chif*={chif_b:.6f})")
+# Remnant recovery over the ladder envelope (reference: calculate_epsilon
+# for each N<=20 ladder, even_more_overtones.ipynb).  t0=10 for shallow
+# ladders (the injected deep overtones, up to 30x the fundamental, have
+# decayed there so the truncated model is faithful); the full ladder
+# fits from t0=0.
+print("epsilon(N):")
+for N, t0 in ((4, 10.0), (8, 10.0), (14, 0.0), (21, 0.0)):
+    eps, Mf_b, chif_b = qf.calculate_epsilon(
+        times, h22, [(2, 2, n, 1) for n in range(N)], Mf, chif, t0=t0)
+    print(f"  N={N:2d} t0={t0:4.1f}: eps={eps:.3e} "
+          f"(Mf*={Mf_b:.6f}, chif*={chif_b:.6f})")

@@ -173,3 +173,46 @@ def test_masked_trapz_matches_subarray():
     tau = np.asarray(trapz_weights(jnp.asarray(t), jnp.asarray(w)))
     sel = w.astype(bool)
     assert abs(np.sum(tau * y) - np.trapezoid(y[sel], x=t[sel])) < 1e-12
+
+
+class TestRandomizedParity:
+    """Property-style sweeps: random mode sets / windows / spherical
+    subsets, batched engines vs the NumPy oracle (seeded)."""
+
+    @pytest.mark.parametrize("seed", [101, 102, 103, 104, 105])
+    def test_random_config_t0_sweep(self, seed):
+        from qnmfits_tpu import batched, ref_impl
+        from qnmfits_tpu.testing import synthetic_multimode
+
+        rng = np.random.default_rng(seed)
+        pool = ([(2, 2, n, 1) for n in range(5)]
+                + [(3, 2, n, 1) for n in range(3)]
+                + [(2, 2, 0, -1), (2, 2, 1, -1)]
+                + [(2, 2, 0, 1, 2, 2, 0, 1)])          # quadratic
+        k = int(rng.integers(1, 6))
+        idx = rng.choice(len(pool), size=k, replace=False)
+        modes = [pool[i] for i in sorted(idx)]
+        # quadratic modes are only valid for plain (non-mixing) fits
+        has_quad = any(len(m) > 4 for m in modes)
+        sph = None if (has_quad or rng.random() < 0.4) \
+            else [(2, 2), (3, 2)]
+
+        syn = synthetic_multimode(seed=seed)
+        data = syn["data_dict"] if sph else syn["data_dict"][(2, 2)]
+        t0_lo = float(rng.uniform(-3.0, 5.0))
+        t0s = np.sort(rng.uniform(t0_lo, t0_lo + 25.0, size=6))
+        T = float(rng.uniform(40.0, 90.0))
+
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], data, modes, syn["Mf"], syn["chif"], t0s,
+            T_array=T, spherical_modes=sph)
+        mm_l = ref_impl.mismatch_t0_array(
+            syn["times"], data, modes, syn["Mf"], syn["chif"], t0s,
+            T_array=T, spherical_modes=sph)
+        np.testing.assert_allclose(mm_b, mm_l, rtol=0, atol=1e-11)
+
+        # fast factored path (geq only, linear or quadratic alike)
+        mm_f = batched.batch_mismatch_t0_fast(
+            syn["times"], data, modes, syn["Mf"], syn["chif"], t0s,
+            T_array=T, spherical_modes=sph)
+        np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
