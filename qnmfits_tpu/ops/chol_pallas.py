@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ds import (ds_add, ds_from_f64, ds_mul, ds_mul_f32, ds_rsqrt,
-                 ds_sub, ds_to_f64)
+from .ds import (ds_add, ds_from_f64, ds_mul, ds_rsqrt, ds_sub,
+                 ds_to_f64)
 
 __all__ = ["complex_cholesky_solve_ds", "pallas_solve_supported"]
 

@@ -42,15 +42,27 @@ def resumable_sweep(fn_block, items, path, block: int = 4096,
 
     fn_block must return an ndarray whose FIRST axis matches the block
     length, or a tuple of such arrays.  Returns the concatenated
-    result(s) over all items (same structure as fn_block's output).
-    Completed blocks found in ``path`` are loaded instead of recomputed.
+    result(s) over all items (same structure as fn_block's output:
+    a bare array stays bare, a tuple -- even a 1-tuple -- stays a
+    tuple).  Completed blocks found in ``path`` are loaded instead of
+    recomputed.
     """
     items = np.asarray(items)
     n = items.shape[0]
+    if n == 0:
+        raise ValueError("resumable_sweep: `items` is empty")
     n_blocks = -(-n // block)
     os.makedirs(path, exist_ok=True)
 
+    def _save_atomic(fname, **arrays):
+        # temp + rename so an interrupt never leaves a truncated file
+        # (np.savez appends .npz to names without the extension).
+        tmp = fname[:-4] + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, fname)
+
     meta_file = os.path.join(path, "meta.npz")
+    bare = None                       # did fn_block return a bare array?
     if os.path.exists(meta_file):
         meta = np.load(meta_file)
         if int(meta["block"]) != block or not np.array_equal(
@@ -59,31 +71,32 @@ def resumable_sweep(fn_block, items, path, block: int = 4096,
                 f"checkpoint at {path!r} was written for a different "
                 f"sweep configuration (items/block changed); use a new "
                 f"path or delete it")
+        if "bare" in meta.files:
+            bare = bool(meta["bare"])
     else:
-        np.savez(meta_file, items=items, block=block)
+        _save_atomic(meta_file, items=items, block=block)
 
     outs = []
     for bi in range(n_blocks):
         bfile = os.path.join(path, f"block_{bi:05d}.npz")
         if os.path.exists(bfile):
             z = np.load(bfile)
-            outs.append(tuple(z[k] for k in sorted(z.files)))
+            outs.append(tuple(z[f"out{k}"] for k in range(len(z.files))))
             continue
         a, b = bi * block, min((bi + 1) * block, n)
-        res = _as_tuple(fn_block(items[a:b]))
+        raw = fn_block(items[a:b])
+        if bare is None:
+            bare = not isinstance(raw, tuple)
+            _save_atomic(meta_file, items=items, block=block, bare=bare)
+        res = _as_tuple(raw)
         for r in res:
             if np.asarray(r).shape[0] != b - a:
                 raise ValueError(
                     "fn_block must return arrays whose first axis "
                     f"matches the block length ({b - a}); got "
                     f"{np.asarray(r).shape}")
-        # Atomic-ish write: temp file then rename, so an interrupt
-        # mid-save never leaves a truncated block behind.  (np.savez
-        # appends .npz to names without the extension, so keep it.)
-        tmp = bfile[:-4] + ".tmp.npz"
-        np.savez(tmp, **{f"out{k}": np.asarray(r)
-                         for k, r in enumerate(res)})
-        os.replace(tmp, bfile)
+        _save_atomic(bfile, **{f"out{k}": np.asarray(r)
+                               for k, r in enumerate(res)})
         outs.append(tuple(np.asarray(r) for r in res))
         if progress:
             print(f"checkpoint: block {bi + 1}/{n_blocks} done",
@@ -91,4 +104,8 @@ def resumable_sweep(fn_block, items, path, block: int = 4096,
 
     cat = tuple(np.concatenate([o[k] for o in outs], axis=0)
                 for k in range(len(outs[0])))
-    return cat if len(cat) > 1 else cat[0]
+    if bare is None:
+        # every block came from disk and the meta predates the flag:
+        # a single output is overwhelmingly a bare-array sweep.
+        bare = len(cat) == 1
+    return cat[0] if (bare and len(cat) == 1) else cat

@@ -248,3 +248,38 @@ class TestResumableSweep:
         mm = resumable_sweep(fn, t0s, str(tmp_path / "ck"), block=4)
         mm_direct = fn(t0s)
         np.testing.assert_allclose(mm, mm_direct, rtol=0, atol=1e-13)
+
+
+class TestResumableSweepEdgeCases:
+    def test_many_outputs_resume_order(self, tmp_path):
+        """11+ outputs must keep their slots on resume (regression:
+        lexicographic key sort put out10 before out2)."""
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        items = np.arange(6.0)
+
+        def fn(block):
+            return tuple(block + k for k in range(12))
+
+        out1 = resumable_sweep(fn, items, str(tmp_path / "ck"), block=3)
+        out2 = resumable_sweep(fn, items, str(tmp_path / "ck"), block=3)
+        for k in range(12):
+            np.testing.assert_allclose(out2[k], items + k)
+            np.testing.assert_allclose(out1[k], out2[k])
+
+    def test_empty_items_raises(self, tmp_path):
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        with pytest.raises(ValueError, match="empty"):
+            resumable_sweep(lambda b: b, np.array([]),
+                            str(tmp_path / "ck"))
+
+    def test_one_tuple_stays_tuple(self, tmp_path):
+        """(arr,) in -> (arr,) out, including on a pure-resume run."""
+        from qnmfits_tpu.utils.checkpoint import resumable_sweep
+        items = np.arange(4.0)
+        out = resumable_sweep(lambda b: (b * 3,), items,
+                              str(tmp_path / "ck"), block=2)
+        assert isinstance(out, tuple) and len(out) == 1
+        np.testing.assert_allclose(out[0], items * 3)
+        out2 = resumable_sweep(lambda b: (b * 3,), items,
+                               str(tmp_path / "ck"), block=2)
+        assert isinstance(out2, tuple) and len(out2) == 1
