@@ -87,7 +87,7 @@ from .plotting import (  # noqa: E402
 )
 from .qnm_api import download_cook_data  # noqa: E402
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 _lazy_singletons = {}
 
