@@ -214,3 +214,51 @@ def test_on_demand_invalid_mode_friendly_error():
     t = default_tables()
     with pytest.raises(KeyError, match="invalid mode"):
         t._row_for((1, 0, 0))       # l < |s| for s=-2
+
+
+class TestL8Extension:
+    """The l=8 table rows (round-2 coverage extension)."""
+
+    def test_l8_schwarzschild_limit_matches_seed(self, tables):
+        from qnmfits_tpu.spectrum.solver import schwarzschild_seeds
+        seeds = schwarzschild_seeds(l_max=8, n_max=2, s=-2,
+                                    n_max_low_l=0)
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        for n in (0, 1, 2):
+            w = q.omega(8, 3, n, 1, 0.0)
+            assert abs(w - seeds[(8, n)]) < 1e-8, n
+
+    def test_l8_eikonal_sanity(self):
+        """Re omega(l=8, n=0) at chi=0 within a few percent of the
+        eikonal estimate (l+1/2)/sqrt(27)."""
+        from qnmfits_tpu.qnm_api import qnm
+        w = qnm().omega(8, 8, 0, 1, 0.0)
+        assert abs(w.real - 8.5 / np.sqrt(27.0)) / w.real < 0.03
+        assert -0.1 < w.imag < -0.09
+
+    def test_l8_table_matches_direct_solve(self, tables):
+        """Spline row vs a fresh track_mode solve at one spin."""
+        from qnmfits_tpu.spectrum.solver import (schwarzschild_seeds,
+                                                 track_mode)
+        from qnmfits_tpu.qnm_api import qnm
+        seeds = schwarzschild_seeds(l_max=8, n_max=1, s=-2,
+                                    n_max_low_l=0)
+        # dense spin steps: coarse continuation (e.g. 0.35 steps) hops
+        # to a neighbouring overtone branch
+        chi_probe = np.linspace(0.0, 0.7, 71)
+        w, A, C = track_mode(8, 5, 1, seeds[(8, 1)], chi_probe, s=-2)
+        q = qnm()
+        for ci in (0, 35, 70):
+            chi = float(chi_probe[ci])
+            assert abs(q.omega(8, 5, 1, 1, chi) - w[ci]) < 2e-7, chi
+
+    def test_l8_mirror_and_m_coverage(self):
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        for m in (-8, -3, 0, 4, 8):
+            w = q.omega(8, m, 0, 1, 0.6)
+            wm = q.omega(8, -m, 0, -1, 0.6)
+            np.testing.assert_allclose(np.asarray(wm),
+                                       np.asarray(-np.conj(w)),
+                                       rtol=0, atol=1e-12)
