@@ -262,3 +262,51 @@ class TestL8Extension:
             np.testing.assert_allclose(np.asarray(wm),
                                        np.asarray(-np.conj(w)),
                                        rtol=0, atol=1e-12)
+
+
+class TestS1Tables:
+    """s=-1 electromagnetic QNM tables (beyond the reference's scope:
+    it ships s=-2 plus s=0 for Qmu_B only)."""
+
+    def test_schwarzschild_published_anchors(self):
+        """Berti, Cardoso & Starinets 2009 s=-1 values.  These also seed
+        the solver, but Newton must converge to the true CF root from a
+        ~1e-4 guess, so 1e-6 agreement is a real check."""
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        refs = {(1, 0): 0.248263 - 0.092488j,
+                (2, 0): 0.457596 - 0.095004j,
+                (3, 0): 0.656899 - 0.095616j}
+        for (l, n), ref in refs.items():
+            w = q.omega(l, 0, n, 1, 0.0, s=-1)
+            assert abs(w - ref) < 2e-6, (l, n)
+
+    def test_kerr_table_matches_direct_solve(self):
+        from qnmfits_tpu.qnm_api import qnm
+        from qnmfits_tpu.spectrum.solver import (schwarzschild_seeds,
+                                                 track_mode)
+        seeds = schwarzschild_seeds(l_max=2, n_max=0, s=-1,
+                                    n_max_low_l=0)
+        chi_probe = np.linspace(0.0, 0.8, 81)
+        w, A, C = track_mode(2, 2, 0, seeds[(2, 0)], chi_probe, s=-1)
+        q = qnm()
+        for ci in (0, 40, 80):
+            chi = float(chi_probe[ci])
+            assert abs(q.omega(2, 2, 0, 1, chi, s=-1) - w[ci]) < 2e-7
+
+    def test_distinct_from_gravitational(self):
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        w1 = q.omega(2, 2, 0, 1, 0.68, s=-1)
+        w2 = q.omega(2, 2, 0, 1, 0.68, s=-2)
+        assert abs(w1 - w2) > 1e-2
+        assert w1.imag < 0 and w2.imag < 0
+
+    def test_mirror_symmetry(self):
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        w = q.omega(1, 1, 0, 1, 0.5, s=-1)
+        wm = q.omega(1, -1, 0, -1, 0.5, s=-1)
+        np.testing.assert_allclose(np.asarray(wm),
+                                   np.asarray(-np.conj(w)),
+                                   rtol=0, atol=1e-12)
