@@ -302,9 +302,10 @@ def spatial_mismatch_linear(best_fit, map, chif, l_max=8):
     l, m, n, p = map
     z = sum(A * np.conj(q.mu(lp, mp, l, m, n, p, chif))
             for (lp, mp), A in zip(best_fit["spherical_modes"], amps))
-    den2 = np.abs(sum(q.mu(lp, m, l, m, n, p, chif)
-                      * np.conj(q.mu(lp, m, l, m, n, p, chif))
-                      for lp in range(2, l_max + 1)))
+    # l' starts at max(2, |m|): mu is undefined (KeyError) below |m|,
+    # same guard as spatial_prediction_linear.
+    den2 = np.abs(sum(np.abs(q.mu(lp, m, l, m, n, p, chif)) ** 2
+                      for lp in range(max(2, abs(m)), l_max + 1)))
     den1 = np.abs(np.sum(amps * np.conj(amps)))
     sm = 1 - np.abs(z) / np.sqrt(den1 * den2)
     return sm, np.angle(z), z
@@ -323,10 +324,9 @@ def spatial_mismatch_quadratic(best_fit, map, l_max, chif, Qmu, **kwargs):
                             s1=s1, s2=s2)[0])
             for (lp, mp), A in zip(best_fit["spherical_modes"], amps))
     den2 = np.abs(sum(
-        Qmu([(lp, j) + tuple(map)], chif, l_max, s1=s1, s2=s2)[0]
-        * np.conj(Qmu([(lp, j) + tuple(map)], chif, l_max,
-                      s1=s1, s2=s2)[0])
-        for lp in range(2, l_max + 1)))
+        np.abs(Qmu([(lp, j) + tuple(map)], chif, l_max,
+                   s1=s1, s2=s2)[0]) ** 2
+        for lp in range(max(2, abs(j)), l_max + 1)))
     den1 = np.abs(np.sum(amps * np.conj(amps)))
     sm = 1 - np.abs(z) / np.sqrt(den1 * den2)
     return sm, np.angle(z), z

@@ -104,7 +104,11 @@ class BaseWaveform:
         if self.zero_time is None:
             self.zero_time = 0.0
             self.zero_time_method = "Simulation default"
-        elif isinstance(self.zero_time, float):
+        elif (isinstance(self.zero_time, (int, float))
+              and not isinstance(self.zero_time, bool)):
+            # int included: the classes' default zero_time=0 is an int,
+            # which the reference's `type(...) is float` check misses,
+            # leaving zero_time_method unset on the most common path.
             self.zero_time_method = ("Simulation default"
                                      if self.zero_time == 0
                                      else "User defined")
@@ -129,9 +133,20 @@ class BaseWaveform:
 
     def rotate_modes(self):
         """Rotate to the frame with z parallel to the final spin, via a
-        single axis-angle rotation (reference Base.py:179-222)."""
+        single axis-angle rotation (reference Base.py:179-222).
+
+        A spin exactly along +/-z makes cross([0,0,1], chif) vanish;
+        the reference then divides 0/0 and silently NaNs every mode.
+        Here +z is a no-op and -z rotates by pi about x."""
         rot = np.cross([0, 0, 1], self.chif)
-        rot = self.thetaf * rot / np.linalg.norm(rot)
+        nrm = np.linalg.norm(rot)
+        if nrm < 1e-14 * self.chif_mag:
+            if self.chif[2] > 0:          # already aligned
+                self.chif = np.array([0, 0, self.chif_mag])
+                return
+            rot = np.array([np.pi, 0.0, 0.0])   # anti-aligned: flip
+            nrm = np.pi
+        rot = self.thetaf * rot / nrm
         q = quat_from_axis_angle(rot)
         self.h = rotate_mode_dict(self.h, q, self.ellMax)
         self.chif = np.array([0, 0, self.chif_mag])

@@ -107,16 +107,45 @@ class SXS(BaseWaveform):
         # Local-cache path (air-gapped).
         import h5py
 
-        found = None
+        def _lev_of(p):
+            """Lev number from any path component (LevN), else None."""
+            for part in p.parts:
+                if part.startswith("Lev") and part[3:].lstrip("-").isdigit():
+                    return int(part[3:])
+            return None
+
+        # Collect every cached metadata.json for this ID, then select
+        # the level like the reference (Simulation.py:88-97): highest
+        # available Lev plus lev_minus_highest -- NOT whichever sorts
+        # first lexicographically.
+        candidates = []
         for root in _cache_dirs():
             if not root.exists():
                 continue
-            for meta_path in sorted(
-                    root.rglob(f"*{self.ID}*/**/metadata.json")):
-                found = meta_path
+            candidates.extend(root.rglob(f"*{self.ID}*/**/metadata.json"))
+            if candidates:
                 break
-            if found:
-                break
+        found = None
+        scanned_highest = None
+        if candidates:
+            levs = {p: _lev_of(p) for p in candidates}
+            if any(v is not None for v in levs.values()):
+                scanned_highest = max(v for v in levs.values()
+                                      if v is not None)
+                want = scanned_highest + self.lev_minus_highest
+                for p in sorted(candidates):
+                    if levs[p] == want:
+                        found = p
+                        break
+                if found is None:
+                    raise FileNotFoundError(
+                        f"SXS:BBH:{self.ID}: requested Lev{want} "
+                        f"(highest {scanned_highest} + lev_minus_highest "
+                        f"{self.lev_minus_highest}) not in cache; "
+                        f"available: "
+                        f"{sorted(v for v in levs.values() if v is not None)}")
+            else:
+                found = sorted(candidates)[0]   # no Lev structure
         if not found:
             raise FileNotFoundError(
                 f"SXS:BBH:{self.ID} not found: the `sxs` package is not "
@@ -126,8 +155,12 @@ class SXS(BaseWaveform):
                 f"files in the cache.")
 
         self.metadata = json.loads(found.read_text())
-        self.highest_lev = int(self.metadata.get(
-            "simulation_name", "Lev0")[-1])
+        # highest_lev comes from the cache SCAN when the cache has Lev
+        # structure (the loaded file may deliberately be a lower level);
+        # the loaded simulation_name is only a fallback.
+        self.highest_lev = (scanned_highest if scanned_highest is not None
+                            else int(self.metadata.get(
+                                "simulation_name", "Lev0")[-1]))
         self.level = self.highest_lev + self.lev_minus_highest
 
         h5_candidates = list(found.parent.glob("rhOverM*.h5"))
@@ -138,7 +171,15 @@ class SXS(BaseWaveform):
                if self.extrapolation_order != -1 else "OutermostExtraction.dir")
         self._modes = {}
         with h5py.File(h5_candidates[0], "r") as f:
-            grp = f[ext] if ext in f else f
+            if ext in f:
+                grp = f[ext]
+            elif any(k.startswith("Y_l") for k in f):
+                grp = f                    # flat file: datasets at root
+            else:
+                raise KeyError(
+                    f"{h5_candidates[0]}: extrapolation group {ext!r} "
+                    f"not found and no Y_l* datasets at the root; "
+                    f"available groups: {sorted(f.keys())}")
             for key in grp:
                 if not key.startswith("Y_l"):
                     continue
