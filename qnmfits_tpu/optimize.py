@@ -68,7 +68,13 @@ def calculate_epsilon_gradient(times, data, modes, Mf, chif, t0,
         sph = None
 
     vg = _epsilon_objective(_canon(modes), sph, t0_method, None)
-    df = np.asarray(_delta_factor(delta, len(modes)))
+    # Reference semantics: delta applies to single-series fits only
+    # ('Only used if using ringdown_fit' -- the multimode fit routes,
+    # qnmfits.py:1418-1594, ignore it).  The Nelder-Mead parity path
+    # does the same; applying it here gave a wildly different remnant
+    # for dict data depending on min_method.
+    df = np.asarray(_delta_factor(0.0 if sph is not None else delta,
+                                  len(modes)))
     dev = _device_for("x64")
     args = [jax.device_put(np.asarray(a), dev)
             for a in (np.asarray(times, float), rows, float(t0), float(T),
@@ -116,6 +122,13 @@ def free_frequency_fit_gradient(times, data, t0, modes=[], Mf=None,
 
     vg = _free_freq_objective(_canon(modes), t0_method)
     dev = _device_for("x64")
+    if modes and (Mf is None or chif is None):
+        # The reference fails loudly here (omega/None TypeError); a
+        # silent Mf=1/chif=0 default would bias the fixed frequencies
+        # and therefore the recovered free frequency.
+        raise ValueError(
+            "free_frequency_fit with fixed QNM modes requires Mf and "
+            "chif")
     Mf_v = 1.0 if Mf is None else float(Mf)
     chif_v = 0.0 if chif is None else float(chif)
     args = [jax.device_put(np.asarray(a), dev)

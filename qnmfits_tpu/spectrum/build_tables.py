@@ -54,8 +54,15 @@ def build(l_max: int = 5, n_max: int = 7, s: int = -2,
     # branch (Re > 0), not a symmetry image of m > 0.  The ladder starts
     # at l = |s| (l >= 0 for scalar s=0, l >= 2 gravitational).
     for l in range(abs(s), l_max + 1):
+        # The regular l=2 s=-2 ladder must stop at n=7: Leaver's
+        # continuation walks into the algebraically special omega=-2i
+        # at n=8 and fails (or lands on a spurious root that would
+        # collide with the multiplet-extension keys); n>=8 is handled
+        # by the l2_extension below.
+        n_top = min(n_max, 7) if (s == -2 and l == 2 and l2_extension) \
+            else n_max
         for m in range(-l, l + 1):
-            for n in range(0, n_max + 1):
+            for n in range(0, n_top + 1):
                 t0 = time.time()
                 cache = cache_dir / f"s{s}_l{l}_m{m}_n{n}_P{n_chi}.npz"
                 if cache.exists():

@@ -25,7 +25,6 @@ Semantics preserved exactly (reference file:line):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -67,23 +66,6 @@ def eval_spline_np(x_grid: np.ndarray, coeffs: np.ndarray, x) -> np.ndarray:
     c = coeffs[..., i, :]                      # (..., Q, 4)
     val = ((c[..., 0] * dx + c[..., 1]) * dx + c[..., 2]) * dx + c[..., 3]
     return val[..., 0] if scalar else val
-
-
-def eval_spline_jax(x_grid, coeffs, x):
-    """JAX piecewise-cubic evaluation; differentiable in x.
-
-    x_grid: (P,); coeffs: (..., P-1, 4); x: scalar or array.  Broadcasts
-    the query over the leading coefficient axes.
-    """
-    import jax.numpy as jnp
-    xq = jnp.atleast_1d(jnp.asarray(x))
-    i = jnp.clip(jnp.searchsorted(x_grid, xq, side="right") - 1,
-                 0, x_grid.shape[0] - 2)
-    dx = xq - x_grid[i]
-    c = coeffs[..., i, :]
-    val = ((c[..., 0] * dx + c[..., 1]) * dx + c[..., 2]) * dx + c[..., 3]
-    return val.reshape(coeffs.shape[:-2] + xq.shape) if np.ndim(x) else \
-        val[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -144,11 +126,33 @@ class SpectrumTables:
         self.n_mu = int(z["n_mu"])
         self.row = {k: i for i, k in enumerate(self.keys)}
 
-        # Spline coefficients.
-        self.omega_c = _fit_cubic_coeffs(self.chi, self.omega)  # (M, P-1, 4)
-        M, P, K = self.mu.shape
-        self.mu_c = _fit_cubic_coeffs(
-            self.chi, np.moveaxis(self.mu, 2, 1))                # (M, K, P-1, 4)
+        # Spline coefficients: deterministic from the artifact, but the
+        # batched CubicSpline fit over all modes costs ~14 s per process
+        # -- cache them in a sidecar next to the artifact (rebuilt
+        # automatically when the artifact's mode count changes; writing
+        # is best-effort for read-only installs).
+        M = len(self.keys)
+        side = path.with_suffix(".spl.npz")
+        loaded = False
+        if side.exists():
+            try:
+                zs = np.load(side)
+                if int(zs["M"]) == M and zs["omega_c"].shape[0] == M:
+                    self.omega_c = zs["omega_c"]
+                    self.mu_c = zs["mu_c"]
+                    loaded = True
+            except Exception:       # corrupt sidecar: refit below
+                loaded = False
+        if not loaded:
+            self.omega_c = _fit_cubic_coeffs(self.chi, self.omega)
+            self.mu_c = _fit_cubic_coeffs(
+                self.chi, np.moveaxis(self.mu, 2, 1))   # (M, K, P-1, 4)
+            try:
+                tmp = side.with_suffix(".tmp.npz")
+                np.savez(tmp, M=M, omega_c=self.omega_c, mu_c=self.mu_c)
+                tmp.replace(side)
+            except Exception:       # read-only install: just refit later
+                pass
 
         self._jax = None
 
@@ -290,7 +294,14 @@ class SpectrumTables:
             mask = mask[..., None]
         w = np.where(signs > 0, w, -np.conj(w))
         w = np.where(mask, w, 0.0)
-        return w.sum(axis=1) / np.asarray(Mf)
+        w = w.sum(axis=1)                    # (J,) or (J, Q)
+        Mf = np.asarray(Mf)
+        # Reference semantics (qnm.py:189-208): chif and/or Mf may be
+        # array_like.  Scalar chif + array Mf must broadcast to (J, Q),
+        # not silently collapse (or clash) against the mode axis.
+        if Mf.ndim and w.ndim == 1:
+            return w[:, None] / Mf[None, :]
+        return w / Mf
 
     def mu_np(self, indices, chif):
         """Mixing coefficients for (l,m,l',m',n',sign) tuples (NumPy)."""

@@ -59,3 +59,32 @@ class TestFreeFrequency:
             syn["times"], syn["data"], t0=0.0,
             modes=[(2, 2, 0, 1)], Mf=syn["Mf"], chif=syn["chif"])
         assert abs(w_fit - w_true) < 1e-5
+
+
+def test_epsilon_gradient_ignores_delta_for_dict_data():
+    """Reference semantics: delta only applies to single-series fits;
+    the gradient and Nelder-Mead paths must agree for dict data
+    (regression: the gradient path applied delta and shifted the
+    recovered remnant by ~50%)."""
+    from qnmfits_tpu.optimize import calculate_epsilon_gradient
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    syn = synthetic_multimode(seed=31)
+    kw = dict(t0=5.0, T=80.0, spherical_modes=syn["spherical_modes"])
+    eps0, Mf0, chif0 = calculate_epsilon_gradient(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+        syn["chif"], **kw)
+    eps1, Mf1, chif1 = calculate_epsilon_gradient(
+        syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
+        syn["chif"], delta=0.5, **kw)
+    assert abs(Mf1 - Mf0) < 1e-9 and abs(chif1 - chif0) < 1e-9
+
+
+def test_free_frequency_requires_remnant_with_fixed_modes():
+    from qnmfits_tpu.optimize import free_frequency_fit_gradient
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=32)
+    with pytest.raises(ValueError, match="Mf and"):
+        free_frequency_fit_gradient(syn["times"], syn["data"], 5.0,
+                                    modes=[(2, 2, 0, 1)])

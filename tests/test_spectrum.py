@@ -310,3 +310,17 @@ class TestS1Tables:
         np.testing.assert_allclose(np.asarray(wm),
                                    np.asarray(-np.conj(w)),
                                    rtol=0, atol=1e-12)
+
+
+def test_omega_array_Mf_scalar_chif(q):
+    """Reference: 'One or both of chif and Mf can be array_like'
+    (qnm.py:189-208).  Scalar chif + array Mf must broadcast, not
+    collapse (regression)."""
+    Mfs = np.array([0.9, 1.0, 1.1])
+    w = q.omega(2, 2, 0, 1, 0.7, Mf=Mfs)
+    assert np.shape(w) == (3,)
+    w1 = q.omega(2, 2, 0, 1, 0.7)
+    np.testing.assert_allclose(np.asarray(w), w1 / Mfs, rtol=0,
+                               atol=1e-15)
+    ws = q.omega_list([(2, 2, 0, 1), (3, 3, 0, 1)], 0.7, Mf=Mfs)
+    assert len(ws) == 2 and np.shape(ws[0]) == (3,)
