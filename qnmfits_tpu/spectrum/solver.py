@@ -339,7 +339,14 @@ def track_mode(l: int, m: int, n: int, omega0: complex,
 
 
 def _cf_vec_a(omega, a_vec, A, s, m, n_inv, N):
-    """radial_cf generalised to a per-element spin array (Leaver units)."""
+    """radial_cf generalised to a per-element spin array (Leaver units).
+
+    DELIBERATE duplication of radial.radial_cf's recurrence (and of the
+    C++ csrc/cf_kernel.cpp): the three implementations cross-validate
+    each other in tests, and consolidating the validated recurrences
+    behind one code path would trade that redundancy for a single point
+    of numerical failure.  Any fix to the tail/recurrence must be
+    applied to all three."""
     from .radial import leaver_coeffs, _alpha_beta_gamma
     omega = np.asarray(omega, complex)
     b = np.sqrt(1.0 - 4.0 * a_vec * a_vec)
