@@ -184,11 +184,18 @@ def pallas_solve_supported(n: int) -> bool:
 def complex_cholesky_solve_ds(Gre, Gim, bre, bim, tile: int = 2048,
                               interpret: bool = False,
                               use_jit: bool = True):
-    """Drop-in for ops.chol.complex_cholesky_solve_unrolled on TPU.
+    """Batched Hermitian solve on the Pallas double-single kernel.
 
     Gre/Gim (B, n, n) f64, bre/bim (B, n) f64 -> (xre, xim) (B, n) f64.
     The f64 <-> double-single conversion and the batch-to-lane
     transpose happen in XLA around the kernel (cheap elementwise).
+
+    Signature-compatible with ops.chol.complex_cholesky_solve_unrolled,
+    but deliberately NOT wired into the factored sweep: at the sweep's
+    chunked batch sizes the fused XLA solve measures a tie (PERF.md
+    section 4d), so this ships as a standalone component for workloads
+    where the batched solve stands alone (standalone it is ~2x the XLA
+    formulation).
     """
     B, n, _ = Gre.shape
     dtype = Gre.dtype

@@ -41,13 +41,11 @@ def _solve_real_embedded(Gs, bs):
     E = jnp.concatenate([top, bot], axis=-2)          # (..., 2J, 2J)
     b = jnp.concatenate([jnp.real(bs), jnp.imag(bs)], axis=-1)
 
+    from jax.scipy.linalg import solve_triangular
+
     L = jnp.linalg.cholesky(E)
-    y = jnp.vectorize(
-        lambda Lm, v: jnp.linalg.solve(Lm, v),
-        signature="(j,j),(j)->(j)")(L, b)
-    x = jnp.vectorize(
-        lambda Lm, v: jnp.linalg.solve(Lm.swapaxes(-1, -2), v),
-        signature="(j,j),(j)->(j)")(L, y)
+    y = solve_triangular(L, b[..., None], lower=True)
+    x = solve_triangular(L.swapaxes(-1, -2), y, lower=False)[..., 0]
     J = Gs.shape[-1]
     return jax.lax.complex(x[..., :J], x[..., J:])
 
@@ -67,8 +65,11 @@ def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
     # Auto-mask numerically dead columns (underflowed heavily-damped
     # modes) and floor the equilibrated spectrum -- the Gram-domain
     # analogue of lstsq's rcond truncation (see engine_real).
+    # (1e3 eps)^2 threshold, same rationale as engine_real._equilibrated:
+    # a finfo-tiny cut never fires before the equilibrated Gram turns to
+    # rounding noise (non-PSD -> NaN Cholesky), on any hardware.
     dead = diag <= (jnp.max(diag, axis=-1, keepdims=True)
-                    * jnp.finfo(rhs.real.dtype).tiny * 1e8)
+                    * (1e3 * jnp.finfo(rhs.real.dtype).eps) ** 2)
     kk = dead[..., :, None] | dead[..., None, :]
     eye = jnp.eye(J, dtype=G.dtype)
     G = jnp.where(kk, eye, G)
@@ -86,13 +87,12 @@ def gram_cholesky(G, rhs, jitter_scale: float = 0.0):
     if G.dtype == jnp.complex64:
         return _solve_real_embedded(Gs, bs) * Dinv
 
+    from jax.scipy.linalg import solve_triangular
+
     L = jnp.linalg.cholesky(Gs)
-    y = jnp.vectorize(
-        lambda Lm, b: jnp.linalg.solve(Lm, b),
-        signature="(j,j),(j)->(j)")(L, bs)
-    z = jnp.vectorize(
-        lambda Lm, b: jnp.linalg.solve(Lm.conj().swapaxes(-1, -2), b),
-        signature="(j,j),(j)->(j)")(L, y)
+    y = solve_triangular(L, bs[..., None], lower=True)
+    z = solve_triangular(L.conj().swapaxes(-1, -2), y,
+                         lower=False)[..., 0]
     return z * Dinv
 
 

@@ -28,12 +28,25 @@ from jax import shard_map
 from ..engine import fit_core
 from ..ops.cmath import damped_phase
 from ..ops.solve import gram_cholesky
-from ..ops.windows import trapz_weights, window_geq
+from ..ops.windows import window_closest, window_geq
 
 __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
            "sharded_t0_sweep_real", "sharded_fit_core_real",
            "sharded_t0_sweep_factored",
            "sharded_t0_sweep_modesets_factored"]
+
+
+def _host_trapz(times, w):
+    """Trapezoid weights on the GLOBAL time grid (host-side numpy):
+    segment weights straddle shard boundaries, so they must be computed
+    before sharding.  Mirrors ops.windows.trapz_weights exactly."""
+    t = np.asarray(times)
+    wv = np.asarray(w, t.dtype)
+    seg = wv[:-1] * wv[1:] * (t[1:] - t[:-1]) * 0.5
+    tau = np.zeros_like(t)
+    tau[:-1] += seg
+    tau[1:] += seg
+    return tau
 
 
 def sweep_mesh(n_sweep: int | None = None, n_time: int = 1,
@@ -70,6 +83,8 @@ def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
     t0s_p, B = _pad_to(t0s, n_sweep)
     Ts_p, _ = _pad_to(Ts, n_sweep)
 
+    window = window_geq if t0_method == "geq" else window_closest
+
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("sweep"), P("sweep")),
@@ -78,7 +93,7 @@ def sharded_t0_sweep(times, data, omega, mu, t0s, Ts, mesh: Mesh,
     def run(times_, data_, omega_, mu_, t0_loc, T_loc):
         def one(args):
             t0, T = args
-            w = window_geq(times_, t0, T)
+            w = window(times_, t0, T)
             return fit_core(times_, data_, omega_, mu_, t0, w, cdtype)
         return jax.lax.map(one, (t0_loc, T_loc), batch_size=64)
 
@@ -104,10 +119,7 @@ def sharded_fit_core(times, data, omega, mu, t0, w, mesh: Mesh,
     rdt = np.float32 if cdtype == jnp.complex64 else np.float64
     t_np = np.asarray(times, rdt)
     w_np = np.asarray(w, rdt)
-    seg = w_np[:-1] * w_np[1:] * (t_np[1:] - t_np[:-1]) * 0.5
-    tau = np.zeros_like(t_np)
-    tau[:-1] += seg
-    tau[1:] += seg
+    tau = _host_trapz(t_np, w_np)
 
     @partial(
         shard_map, mesh=mesh,
@@ -298,10 +310,7 @@ def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
 
     t_np = np.asarray(times)
     w_np = np.asarray(w, t_np.dtype)
-    seg = w_np[:-1] * w_np[1:] * (t_np[1:] - t_np[:-1]) * 0.5
-    tau = np.zeros_like(t_np)
-    tau[:-1] += seg
-    tau[1:] += seg
+    tau = _host_trapz(t_np, w_np)
 
     @partial(
         shard_map, mesh=mesh,

@@ -105,7 +105,12 @@ def resumable_sweep(fn_block, items, path, block: int = 4096,
     cat = tuple(np.concatenate([o[k] for o in outs], axis=0)
                 for k in range(len(outs[0])))
     if bare is None:
-        # every block came from disk and the meta predates the flag:
-        # a single output is overwhelmingly a bare-array sweep.
-        bare = len(cat) == 1
+        # meta always gains the flag before the first block file is
+        # written, so this means meta.npz was recreated out of band
+        # while block files survived -- refuse to guess the return
+        # structure.
+        raise ValueError(
+            f"checkpoint at {path!r} has completed blocks but its meta "
+            f"lacks the output-structure flag (meta.npz was recreated "
+            f"out of band); delete the directory and re-run")
     return cat[0] if (bare and len(cat) == 1) else cat

@@ -20,13 +20,27 @@ __all__ = ["timed", "debug_nans", "sweep_progress"]
 
 @contextlib.contextmanager
 def timed(label: str = "", printer=print):
-    """Wall-time a block (device work is synchronised on exit)."""
+    """Wall-time a block, synchronising device work on exit.
+
+    JAX dispatches pure computations asynchronously, so a naive timer
+    would report only dispatch time.  Per-device execution is in-order,
+    so enqueueing a trivial jitted op on every device and blocking on it
+    fences everything enqueued inside the block (effects_barrier alone
+    only waits for EFFECTFUL computations and misses pure compute)."""
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        (jax.effects_barrier if hasattr(jax, "effects_barrier")
-         else lambda: None)()
+        if hasattr(jax, "effects_barrier"):
+            jax.effects_barrier()
+        for dev in jax.devices():
+            try:
+                jax.block_until_ready(
+                    jax.device_put(jnp.zeros(()), dev) + 0)
+            except Exception:       # uninitialised backend: nothing queued
+                pass
         printer(f"[{label or 'timed'}] {time.perf_counter() - t0:.3f}s")
 
 

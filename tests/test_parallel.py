@@ -185,3 +185,36 @@ def test_public_modesets_mesh_matches_unsharded(cpu_devices):
         syn["times"], syn["data_dict"], mode_sets, syn["Mf"], syn["chif"],
         t0s, T_array=70.0, spherical_modes=syn["spherical_modes"])
     np.testing.assert_allclose(mm_m, mm_1, rtol=0, atol=1e-12)
+
+
+def test_sharded_t0_sweep_closest_method(cpu_devices, problem):
+    """t0_method='closest' must actually switch windows (regression:
+    the parameter was accepted but geq always ran)."""
+    import jax.numpy as jnp
+    from qnmfits_tpu.engine import fit_core
+    from qnmfits_tpu.ops.windows import window_closest
+    from qnmfits_tpu.parallel.mesh import sharded_t0_sweep, sweep_mesh
+
+    times, dre, dim, wr, wi, mre, mim = problem
+    data = dre + 1j * dim
+    omega = wr + 1j * wi
+    mu = mre + 1j * mim
+    mesh = sweep_mesh(n_sweep=2, n_time=1, devices=cpu_devices[:2])
+    # t0 strictly between samples: 'closest' and 'geq' pick different
+    # window starts.
+    # fraction < 0.5: 'closest' keeps sample 40, 'geq' starts at 41
+    t0s = np.array([times[40] + 0.4 * (times[41] - times[40])])
+    Ts = np.array([60.0])
+    C_s, mm_s = sharded_t0_sweep(times, data, omega, mu, t0s, Ts,
+                                 mesh=mesh, cdtype=jnp.complex128,
+                                 t0_method="closest")
+    w = window_closest(jnp.asarray(times), float(t0s[0]), 60.0)
+    C_1, mm_1 = fit_core(jnp.asarray(times), jnp.asarray(data),
+                         jnp.asarray(omega), jnp.asarray(mu),
+                         float(t0s[0]), w, jnp.complex128)
+    np.testing.assert_allclose(np.asarray(mm_s)[0], float(mm_1),
+                               rtol=0, atol=1e-12)
+    # and it must differ from the geq window result
+    _, mm_g = sharded_t0_sweep(times, data, omega, mu, t0s, Ts,
+                               mesh=mesh, cdtype=jnp.complex128)
+    assert abs(float(mm_g[0]) - float(mm_s[0])) > 0
