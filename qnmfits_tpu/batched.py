@@ -488,6 +488,40 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     return mm.reshape(res, res).T
 
 
+@lru_cache(maxsize=32)
+def _modesets_spectrum_fn(sets_key, sph):
+    """One jitted CPU program evaluating the padded spectrum of a whole
+    mode-set list at a (chif, Mf) point.
+
+    Re-constructing S SpectrumEvaluators and eagerly dispatching
+    hundreds of small spline gathers per call dominated multi-spin
+    sweeps (~20 s/call for 21 ladders); compiled once per mode-set
+    list, a repeat call is a single millisecond-scale dispatch.
+    """
+    import jax
+
+    evs = [SpectrumEvaluator(list(ms), list(sph) if sph else None)
+           for ms in sets_key]
+    J = max(len(ms) for ms in sets_key)
+    masks = np.zeros((len(sets_key), J), bool)
+    for si, ms in enumerate(sets_key):
+        masks[si, :len(ms)] = True
+
+    def eval_all(chif, Mf):
+        ws, mus_ = [], []
+        for ev, ms in zip(evs, sets_key):
+            w = ev.omega(chif, Mf)
+            ws.append(jnp.pad(w, (0, J - w.shape[0])))
+            if sph is None:
+                mu = jnp.ones((1, w.shape[0]), w.dtype)
+            else:
+                mu = ev.mu(chif)
+            mus_.append(jnp.pad(mu, ((0, 0), (0, J - w.shape[0]))))
+        return jnp.stack(ws), jnp.stack(mus_)
+
+    return jax.jit(eval_all), masks
+
+
 @lru_cache(maxsize=64)
 def _t0_sweep_modesets_fn(chunk):
     from .engine_real import sweep_t0_modesets_factored_real
@@ -522,22 +556,12 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
 
     sets = [list(_canon(ms)) for ms in mode_sets]
-    S = len(sets)
-    J = max(len(ms) for ms in sets)
-    I = rows.shape[0]
-    omegas = np.zeros((S, J), complex)
-    mus = np.zeros((S, I, J), complex)
-    masks = np.zeros((S, J), bool)
+    sets_key = tuple(tuple(ms) for ms in sets)
+    fn, masks = _modesets_spectrum_fn(sets_key, sph)
     with _on_host():
-        for si, ms in enumerate(sets):
-            ev = SpectrumEvaluator(ms, list(sph) if sph else None)
-            omegas[si, :len(ms)] = np.asarray(
-                ev.omega(float(chif), float(Mf)))
-            if sph is None:
-                mus[si, :, :len(ms)] = 1.0
-            else:
-                mus[si, :, :len(ms)] = np.asarray(ev.mu(float(chif)))
-            masks[si, :len(ms)] = True
+        omegas_j, mus_j = fn(float(chif), float(Mf))
+        omegas = np.asarray(omegas_j)
+        mus = np.asarray(mus_j)
 
     chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))), chunk)
     args = (times, rows.real.copy(), rows.imag.copy(),
