@@ -97,11 +97,30 @@ class SpectrumEvaluator:
         val = ((c[..., 0] * dx + c[..., 1]) * dx + c[..., 2]) * dx + c[..., 3]
         return val if jnp.ndim(chif) else val[..., 0]
 
+    def _validate_concrete_chif(self, chif):
+        """Reject off-grid spins for CONCRETE (non-traced) queries: the
+        spline tables cover [0, ~0.9995] and cubic extrapolation beyond
+        is silently unphysical.  Traced values (inside jit/vmap, e.g.
+        the differentiable epsilon objective) pass through -- those
+        callers bound chif themselves."""
+        from jax.core import Tracer
+        if isinstance(chif, Tracer):
+            return
+        c = np.asarray(chif)
+        hi = float(self.chi_grid[-1])
+        if c.size and (float(c.min()) < 0.0 or float(c.max()) > hi):
+            raise ValueError(
+                f"chif must be in [0, {hi}] (got range "
+                f"[{float(c.min())}, {float(c.max())}]); retrograde "
+                f"modes are selected by the mode's m/sign, not a "
+                f"negative spin")
+
     def omega(self, chif, Mf=1.0, delta_factor=None):
         """(J,) frequencies at scalar chif, or (J, Q) at chif (Q,).
 
         Applies mirror symmetry, nonlinear-mode summation and the
         delta-perturbation factor (reference qnmfits.py:253-274)."""
+        self._validate_concrete_chif(chif)
         w = self._spline(self.omega_coeffs, chif)       # (J, Kc[, Q])
         signs = self.signs if jnp.ndim(chif) == 0 else self.signs[..., None]
         mask = self.mask if jnp.ndim(chif) == 0 else self.mask[..., None]
@@ -116,6 +135,7 @@ class SpectrumEvaluator:
         """(I, J) mixing coefficients at scalar chif, or (I, J, Q)."""
         if self.mu_coeffs is None:
             raise ValueError("no spherical_modes were compiled")
+        self._validate_concrete_chif(chif)
         mu = self._spline(self.mu_coeffs, chif)
         if jnp.ndim(chif) == 0:
             sgn, par, nz = self.mu_signs, self.mu_parity, self.mu_nonzero

@@ -279,12 +279,30 @@ class SpectrumTables:
                 np.array(signs, np.float64), np.array(parity, np.float64),
                 np.array(nonzero, bool))
 
+
+    def _check_chif(self, chif):
+        """Host-path spin validation: the spline tables cover
+        0 <= chi <= chi_max (~0.9995); cubic EXTRApolation beyond is
+        silently unphysical (omega ~ 90 at chi=1.05), so concrete
+        (non-traced) queries outside the grid raise.  In-jit array
+        evaluation (dynamic fits) is the caller's responsibility --
+        calculate_epsilon bounds chif <= 0.99."""
+        c = np.asarray(chif)
+        if c.size and (float(c.min()) < 0.0
+                       or float(c.max()) > float(self.chi[-1])):
+            raise ValueError(
+                f"chif must be in [0, {float(self.chi[-1])}] (got "
+                f"range [{float(c.min())}, {float(c.max())}]); "
+                f"retrograde modes are selected by the mode's m/sign, "
+                f"not a negative spin")
+
     # -- NumPy evaluation (parity path) ----------------------------------
     def omega_np(self, mode_set: ModeIndexSet, chif, Mf=1.0):
         """Frequencies for a compiled mode set at spin(s) chif (NumPy).
 
         Returns (J,) for scalar chif or (J, Q) for array chif.
         """
+        self._check_chif(chif)
         rows = mode_set.rows_np()            # (J, Kmax)
         signs = mode_set.signs_np()
         mask = mode_set.mask_np()
@@ -305,6 +323,7 @@ class SpectrumTables:
 
     def mu_np(self, indices, chif):
         """Mixing coefficients for (l,m,l',m',n',sign) tuples (NumPy)."""
+        self._check_chif(chif)
         rows, comps, signs, parity, nonzero = self.compile_mu_indices(indices)
         mu = eval_spline_np(self.chi, self.mu_c[rows, comps], chif)
         if mu.ndim == 2:

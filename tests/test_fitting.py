@@ -216,3 +216,38 @@ class TestRandomizedParity:
             syn["times"], data, modes, syn["Mf"], syn["chif"], t0s,
             T_array=T, spherical_modes=sph)
         np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
+
+
+class TestEdgeBehavior:
+    """Pinned boundary behavior (documented, not crashes)."""
+
+    def test_empty_window_nan_mismatch(self, synthetic_ringdown=None):
+        from qnmfits_tpu import fitting
+        from qnmfits_tpu.testing import synthetic_single
+        syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=2)
+        r = fitting.ringdown_fit(syn["times"], syn["data"],
+                                 [(2, 2, 0, 1)], syn["Mf"], syn["chif"],
+                                 t0=float(syn["times"][-1]) + 50.0)
+        assert np.isnan(r["mismatch"])          # no crash; NaN result
+        np.testing.assert_allclose(r["C"], 0.0)
+
+    def test_offgrid_spin_raises(self):
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        with pytest.raises(ValueError, match="chif must be"):
+            q.omega(2, 2, 0, 1, 1.05)
+        with pytest.raises(ValueError, match="chif must be"):
+            q.omega(2, 2, 0, 1, -0.2)
+        with pytest.raises(ValueError, match="chif must be"):
+            q.mu(3, 2, 2, 2, 0, 1, 1.2)
+        # the grid edge itself works
+        assert np.isfinite(complex(q.omega(2, 2, 0, 1, 0.9995)))
+
+    def test_sweep_offgrid_spin_raises(self):
+        from qnmfits_tpu import batched
+        from qnmfits_tpu.testing import synthetic_single
+        syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=3)
+        with pytest.raises(ValueError, match="chif must be"):
+            batched.batch_mismatch_t0_fast(
+                syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                1.3, np.linspace(0.0, 10.0, 4))
