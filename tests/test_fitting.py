@@ -221,7 +221,7 @@ class TestRandomizedParity:
 class TestEdgeBehavior:
     """Pinned boundary behavior (documented, not crashes)."""
 
-    def test_empty_window_nan_mismatch(self, synthetic_ringdown=None):
+    def test_empty_window_nan_mismatch(self):
         from qnmfits_tpu import fitting
         from qnmfits_tpu.testing import synthetic_single
         syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=2)
