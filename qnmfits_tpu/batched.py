@@ -191,6 +191,8 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
             times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
             T_array=T_array, spherical_modes=spherical_modes,
             precision=precision, return_amplitudes=return_amplitudes)
+    from .engine import check_spin
+    check_spin(chif)
     fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
     C, mm = fn(*_put((times, rows, float(Mf), float(chif), t0s,
@@ -205,6 +207,9 @@ def batch_mismatch_M_chi(times, data, modes, Mf_minmax, chif_minmax, t0,
     """(Mf, chif) grid in one vmapped solve; row-major over Mf rows,
     chif columns like the reference (qnmfits.py:1413)."""
     times, rows, sph = _prep(times, data, spherical_modes)
+    from .engine import check_spin
+    check_spin(float(chif_minmax[0]))
+    check_spin(float(chif_minmax[1]))
     Mf_array = np.linspace(*Mf_minmax, res)
     chif_array = np.linspace(*chif_minmax, res)
     MM, CC = np.meshgrid(Mf_array, chif_array, indexing="ij")
@@ -225,6 +230,8 @@ def batch_mismatch_omega(times, data, modes, Mf, chif, re_minmax, im_minmax,
     im = np.linspace(*im_minmax, res)
     RE, IM = np.meshgrid(re, im, indexing="ij")
     wf = (RE + 1j * IM).ravel()
+    from .engine import check_spin
+    check_spin(chif)
     fn = _omega_sweep_fn(_canon(modes), t0_method, precision)
     args = _put((times, rows, float(Mf) if Mf is not None else 1.0,
                  float(chif) if chif is not None else 0.0, wf,
@@ -431,6 +438,9 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
     as one jitted spectrum-batched sweep.  Identical layout to
     batch_mismatch_M_chi (row-major Mf rows / chif columns)."""
     times, rows, sph = _prep(times, data, spherical_modes)
+    from .engine import check_spin
+    check_spin(float(chif_minmax[0]))
+    check_spin(float(chif_minmax[1]))
     Mf_array = np.linspace(*Mf_minmax, res)
     chif_array = np.linspace(*chif_minmax, res)
     MM, CC = np.meshgrid(Mf_array, chif_array, indexing="ij")
@@ -555,6 +565,8 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
 
+    from .engine import check_spin
+    check_spin(chif)
     sets = [list(_canon(ms)) for ms in mode_sets]
     sets_key = tuple(tuple(ms) for ms in sets)
     fn, masks = _modesets_spectrum_fn(sets_key, sph)

@@ -40,6 +40,26 @@ __all__ = [
 # Spectrum evaluation inside jit
 # ---------------------------------------------------------------------------
 
+def _raise_if_bad_spin(c: float, hi: float) -> None:
+    # Negated form so NaN (all comparisons False) also raises.
+    if not (0.0 <= c <= hi):
+        raise ValueError(
+            f"chif must be in [0, {hi}] (got {c}); retrograde modes "
+            f"are selected by the mode's m/sign, not a negative spin")
+
+
+def check_spin(chif) -> None:
+    """Validate a concrete SCALAR remnant spin against the table grid.
+
+    Called by every public fitting/sweep wrapper so accept/reject
+    behavior is identical across engines; dynamic spin arrays are
+    exempt (junk samples outside the window are legitimate)."""
+    if chif is None or np.ndim(chif) != 0:
+        return
+    from .spectrum.tables import default_tables
+    _raise_if_bad_spin(float(chif), float(default_tables().chi[-1]))
+
+
 class SpectrumEvaluator:
     """Packed spline coefficients for one static mode set.
 
@@ -98,22 +118,17 @@ class SpectrumEvaluator:
         return val if jnp.ndim(chif) else val[..., 0]
 
     def _validate_concrete_chif(self, chif):
-        """Reject off-grid spins for CONCRETE (non-traced) queries: the
+        """Reject off-grid spins for CONCRETE SCALAR queries: the
         spline tables cover [0, ~0.9995] and cubic extrapolation beyond
         is silently unphysical.  Traced values (inside jit/vmap, e.g.
         the differentiable epsilon objective) pass through -- those
-        callers bound chif themselves."""
+        callers bound chif themselves.  Concrete ARRAYS also pass:
+        dynamic chif(t) tracks legitimately carry junk samples outside
+        the fit window (PARITY.md "Known deltas")."""
         from jax.core import Tracer
-        if isinstance(chif, Tracer):
+        if isinstance(chif, Tracer) or np.ndim(chif) != 0:
             return
-        c = np.asarray(chif)
-        hi = float(self.chi_grid[-1])
-        if c.size and (float(c.min()) < 0.0 or float(c.max()) > hi):
-            raise ValueError(
-                f"chif must be in [0, {hi}] (got range "
-                f"[{float(c.min())}, {float(c.max())}]); retrograde "
-                f"modes are selected by the mode's m/sign, not a "
-                f"negative spin")
+        _raise_if_bad_spin(float(chif), float(self.chi_grid[-1]))
 
     def omega(self, chif, Mf=1.0, delta_factor=None):
         """(J,) frequencies at scalar chif, or (J, Q) at chif (Q,).

@@ -110,6 +110,8 @@ def _masked_to_np(arr, w):
 def _run_fit(times, data_rows, modes, Mf, chif, t0, t0_method, T,
              spherical_modes, delta, precision, dynamic):
     """Shared eager-fit driver; returns the reference-style dict pieces."""
+    from .engine import check_spin
+    check_spin(chif)
     modes = _canon_modes(modes)
     sph = tuple(tuple(lm) for lm in spherical_modes) \
         if spherical_modes is not None else None

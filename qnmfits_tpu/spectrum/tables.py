@@ -287,14 +287,17 @@ class SpectrumTables:
         (non-traced) queries outside the grid raise.  In-jit array
         evaluation (dynamic fits) is the caller's responsibility --
         calculate_epsilon bounds chif <= 0.99."""
-        c = np.asarray(chif)
-        if c.size and (float(c.min()) < 0.0
-                       or float(c.max()) > float(self.chi[-1])):
+        c = np.asarray(chif, float)
+        hi = float(self.chi[-1])
+        # Negated form so NaN (all comparisons False) also raises.
+        if c.size and not (float(np.min(c)) >= 0.0
+                           and float(np.max(c)) <= hi
+                           and not np.any(np.isnan(c))):
             raise ValueError(
-                f"chif must be in [0, {float(self.chi[-1])}] (got "
-                f"range [{float(c.min())}, {float(c.max())}]); "
-                f"retrograde modes are selected by the mode's m/sign, "
-                f"not a negative spin")
+                f"chif must be in [0, {hi}] (got range "
+                f"[{float(np.min(c))}, {float(np.max(c))}]); retrograde "
+                f"modes are selected by the mode's m/sign, not a "
+                f"negative spin")
 
     # -- NumPy evaluation (parity path) ----------------------------------
     def omega_np(self, mode_set: ModeIndexSet, chif, Mf=1.0):

@@ -243,11 +243,49 @@ class TestEdgeBehavior:
         # the grid edge itself works
         assert np.isfinite(complex(q.omega(2, 2, 0, 1, 0.9995)))
 
-    def test_sweep_offgrid_spin_raises(self):
-        from qnmfits_tpu import batched
+    def test_sweep_offgrid_spin_raises_every_engine(self):
+        """Accept/reject must not depend on the engine choice."""
+        from qnmfits_tpu import batched, fitting
         from qnmfits_tpu.testing import synthetic_single
         syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=3)
+        t0s = np.linspace(0.0, 10.0, 4)
+        for bad in (1.3, -0.2, float("nan")):
+            with pytest.raises(ValueError, match="chif must be"):
+                batched.batch_mismatch_t0_fast(
+                    syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                    bad, t0s)
+            with pytest.raises(ValueError, match="chif must be"):
+                batched.batch_mismatch_t0(
+                    syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                    bad, t0s)
+            with pytest.raises(ValueError, match="chif must be"):
+                fitting.ringdown_fit(syn["times"], syn["data"],
+                                     syn["modes"], syn["Mf"], bad,
+                                     t0=5.0)
+            with pytest.raises(ValueError, match="chif must be"):
+                batched.batch_mismatch_t0_modesets(
+                    syn["times"], syn["data"], [syn["modes"]],
+                    syn["Mf"], bad, t0s)
         with pytest.raises(ValueError, match="chif must be"):
-            batched.batch_mismatch_t0_fast(
-                syn["times"], syn["data"], syn["modes"], syn["Mf"],
-                1.3, np.linspace(0.0, 10.0, 4))
+            fitting.mismatch_M_chi_grid(
+                syn["times"], syn["data"], syn["modes"], (0.9, 1.0),
+                (0.5, 1.2), t0=5.0, res=3)
+
+    def test_dynamic_spin_array_junk_samples_ok(self):
+        """chif(t) arrays with junk outside the window must fit on BOTH
+        engines (measured NR spin tracks are noisy pre-ringdown)."""
+        from qnmfits_tpu import batched
+        from qnmfits_tpu.testing import synthetic_single
+        syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=1e-3, seed=4)
+        K = len(syn["times"])
+        chif_t = np.full(K, syn["chif"])
+        chif_t[:10] = -1e-3                     # junk before the window
+        t0s = np.linspace(5.0, 12.0, 3)
+        mm_b = batched.batch_mismatch_t0(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t,
+            t0s, T_array=60.0)
+        mm_f = batched.batch_mismatch_t0_dynamic(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t,
+            t0s, T_array=60.0, engine="fast")
+        assert np.all(np.isfinite(mm_b)) and np.all(np.isfinite(mm_f))
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
