@@ -1,11 +1,10 @@
-"""Extend the baked s=-2 spectrum artifact from l<=7 to l<=8.
+"""Extend the baked s=-2 spectrum artifact by one more l.
 
-Solves the 17 x 8 new (l=8, m, n<=7) modes with the standard tracker
+Solves the (2l+1) x 8 new (l, m, n<=7) modes with the standard tracker
 (per-mode cache in data/track_cache) and appends them to the existing
-qnm_tables_s-2.npz -- everything already baked (l<=7, multiplets,
-l=2 ladder to n<=20) is reused untouched.
+qnm_tables_s-2.npz -- everything already baked is reused untouched.
 
-Usage: python scripts/extend_l8.py
+Usage: python scripts/extend_l8.py [l]     (default 8)
 """
 
 import sys
@@ -21,7 +20,7 @@ from qnmfits_tpu.spectrum.solver import (  # noqa: E402
 
 DATA = Path("qnmfits_tpu/data")
 ART = DATA / "qnm_tables_s-2.npz"
-L_NEW = 8
+L_NEW = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_MAX = 7
 S = -2
 

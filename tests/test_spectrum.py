@@ -324,3 +324,18 @@ def test_omega_array_Mf_scalar_chif(q):
                                atol=1e-15)
     ws = q.omega_list([(2, 2, 0, 1), (3, 3, 0, 1)], 0.7, Mf=Mfs)
     assert len(ws) == 2 and np.shape(ws[0]) == (3,)
+
+
+def test_l9_extension(q):
+    """l=9 rows (round-2 coverage extension, second step)."""
+    from qnmfits_tpu.spectrum.solver import schwarzschild_seeds
+    seeds = schwarzschild_seeds(l_max=9, n_max=1, s=-2, n_max_low_l=0)
+    for n in (0, 1):
+        assert abs(q.omega(9, 4, n, 1, 0.0) - seeds[(9, n)]) < 1e-8
+    # eikonal sanity + mirror symmetry at spin
+    w = q.omega(9, 9, 0, 1, 0.0)
+    assert abs(w.real - 9.5 / np.sqrt(27.0)) / w.real < 0.03
+    wm = q.omega(9, -9, 0, -1, 0.6)
+    np.testing.assert_allclose(
+        np.asarray(wm), np.asarray(-np.conj(q.omega(9, 9, 0, 1, 0.6))),
+        rtol=0, atol=1e-12)
