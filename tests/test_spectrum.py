@@ -339,3 +339,13 @@ def test_l9_extension(q):
     np.testing.assert_allclose(
         np.asarray(wm), np.asarray(-np.conj(q.omega(9, 9, 0, 1, 0.6))),
         rtol=0, atol=1e-12)
+
+
+def test_l10_extension(q):
+    """l=10 rows (round-2 coverage extension, third step)."""
+    from qnmfits_tpu.spectrum.solver import schwarzschild_seeds
+    seeds = schwarzschild_seeds(l_max=10, n_max=1, s=-2, n_max_low_l=0)
+    for n in (0, 1):
+        assert abs(q.omega(10, 5, n, 1, 0.0) - seeds[(10, n)]) < 1e-8
+    w = q.omega(10, 10, 0, 1, 0.0)
+    assert abs(w.real - 10.5 / np.sqrt(27.0)) / w.real < 0.03
