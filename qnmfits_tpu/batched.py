@@ -279,6 +279,11 @@ def batch_mismatch_t0_dynamic(times, data, modes, Mf, chif, t0_array,
     spline-evaluated on the (Mf(t), chif(t)) arrays host-side once, the
     window sweep runs on device); 'batched' (default) is the complex
     x64 path."""
+    from .engine import check_spin
+    # Validate BEFORE the scalar->array expansion below: a concrete
+    # out-of-range scalar chif must raise like every static path does
+    # (arrays stay exempt -- junk samples outside the window are fine).
+    check_spin(chif)
     times, rows, sph = _prep(times, data, spherical_modes)
     K = len(times)
     Mf_t = np.full(K, Mf) if np.ndim(Mf) == 0 else np.asarray(Mf, float)

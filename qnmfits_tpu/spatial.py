@@ -26,10 +26,12 @@ import numpy as np
 from . import ref_impl
 from .harmonics import sYlm, wigner_3j
 from .ref_impl import get_qnm, mask_times, multimode_mismatch
+from .spatial_engine import mapping_mismatch_t0_array  # noqa: F401
 from .spectrum.angular import lmin as _lmin, mode_eigensystem
 
 __all__ = [
-    "mapping_multimode_ringdown_fit", "spatial_reconstruction",
+    "mapping_multimode_ringdown_fit", "mapping_mismatch_t0_array",
+    "spatial_reconstruction",
     "spatial_prediction_linear", "spatial_prediction_quadratic",
     "spatial_prediction_C", "spatial_mismatch_linear",
     "spatial_mismatch_quadratic", "spatial_data_mismatch", "data_mismatch",
@@ -80,8 +82,12 @@ def kappa(i, j, d, h, b, f, s1, s2):
             * (-1.0) ** (j + s1 + s2))
 
 
-def _Qmu_sum(indices, chif, l_max, s1, s2, extra=None):
-    """Shared double-sum over the mixing products mu_d mu_h kappa."""
+def _Qmu_sum_loop(indices, chif, l_max, s1, s2, extra=None):
+    """Reference-shaped double-sum oracle (scalar chif only): one
+    per-scalar mu-spline call per (d, h) pair, exactly the reference's
+    evaluation order (:728-761).  Kept as the equality bar for the
+    compiled einsum path (spatial_engine.eval_qmu); not used in
+    production."""
     q = get_qnm()
     out = []
     for (i, j, a, b, c, sign1, e, f, g, sign2) in indices:
@@ -105,16 +111,18 @@ def _Qmu_sum(indices, chif, l_max, s1, s2, extra=None):
 
 def Qmu_A(indices, chif, l_max, **kwargs):
     """QQNM mixing prediction A: both factors spin weight -2
-    (reference :728-761)."""
-    return _Qmu_sum(indices, chif, l_max, -2, -2)
+    (reference :728-761).  Evaluated by the compiled einsum engine
+    (spatial_engine.eval_qmu); chif may be a scalar or an array."""
+    from .spatial_engine import eval_qmu
+    return eval_qmu(indices, chif, l_max, s1=-2, s2=-2)
 
 
 def Qmu_B(indices, chif, l_max, **kwargs):
     """QQNM mixing prediction B: configurable spin weights, default
     (s1, s2) = (-2, 0) (reference :764-799; requires s=0 tables)."""
-    s1 = kwargs.get("s1", -2)
-    s2 = kwargs.get("s2", 0)
-    return _Qmu_sum(indices, chif, l_max, s1, s2)
+    from .spatial_engine import eval_qmu
+    return eval_qmu(indices, chif, l_max,
+                    s1=kwargs.get("s1", -2), s2=kwargs.get("s2", 0))
 
 
 def Qmu_C(indices, chif, l_max=None, method="coefficients", n_quad=64,
@@ -157,9 +165,8 @@ def Qmu_C(indices, chif, l_max=None, method="coefficients", n_quad=64,
 def Qmu_D(indices, chif, l_max, **kwargs):
     """QQNM mixing prediction D: A-type sum with the extra
     sqrt((i+4)(i-3)(i+3)(i-2)) factor (reference :852-885)."""
-    return _Qmu_sum(indices, chif, l_max, -2, -2,
-                    extra=lambda i: np.sqrt((i + 4) * (i - 3)
-                                            * (i + 3) * (i - 2)))
+    from .spatial_engine import eval_qmu
+    return eval_qmu(indices, chif, l_max, s1=-2, s2=-2, with_extra=True)
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +180,8 @@ def mapping_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
     per spherical mode (identity design blocks, reference :212-219);
     quadratic non-mapped modes use the Qmu_B mixing prediction
     (reference :202-210)."""
+    from .spatial_engine import mapping_design
+
     if spherical_modes is None:
         spherical_modes = list(data_dict.keys())
 
@@ -181,37 +190,12 @@ def mapping_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
     masked = {lm: np.asarray(data_dict[lm])[idx] for lm in spherical_modes}
     d = np.concatenate([masked[lm] for lm in spherical_modes])
 
-    # Non-mapped modes, split by order; mapped modes excluded from the
-    # mixing-weighted part (reference :165-183).
-    mod_modes = [m for m in modes if m not in mapping_modes]
-    linear_modes = [m for m in mod_modes if len(m) == 4]
-    quadratic_modes = [m for m in mod_modes if len(m) == 8]
-    bad = [m for m in mod_modes if len(m) not in (4, 8)]
-    if bad:
-        raise ValueError(f"wrong number of indices in tuple: {bad[0]}")
-    mod_modes = linear_modes + quadratic_modes
-
-    q = get_qnm()
-    I = len(spherical_modes)
-
-    coef_lists = []
-    for lm in spherical_modes:
-        mus = q.mu_list([lm + mode for mode in linear_modes], chif)
-        alphas = Qmu_B([lm + mode for mode in quadratic_modes], chif,
-                       l_max=8, s1=-2, s2=0)
-        coef_lists.append(list(mus) + list(alphas))
-
-    # Identity blocks: one independent amplitude per (mapped mode,
-    # spherical mode) pair (reference :212-219).
-    for row, lm in enumerate(spherical_modes):
-        unit = [0.0] * (I * len(mapping_modes))
-        for k in range(len(mapping_modes)):
-            unit[k * I + row] = 1.0
-        coef_lists[row] = coef_lists[row] + unit
-
-    all_modes = mod_modes + [mm for mm in mapping_modes
-                             for _ in range(I)]
-    frequencies = np.array(q.omega_list(all_modes, chif, Mf))
+    # Compiled design: mixing/Qmu_B columns + identity blocks as one
+    # (I, J) coefficient matrix (spatial_engine.mapping_design; same
+    # model as reference :165-219, evaluated batched).
+    all_modes, frequencies, coef_matrix = mapping_design(
+        spherical_modes, modes, mapping_modes, chif, Mf)
+    coef_lists = [coef_matrix[i] for i in range(len(spherical_modes))]
 
     decay = np.exp(-1j * frequencies[None, :] * (tm[:, None] - t0))
     a = np.concatenate([np.asarray(coefs)[None, :] * decay
@@ -244,37 +228,43 @@ def mapping_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
 
 def spatial_reconstruction(theta, phi, best_fit, map, l_max, s3=-2):
     """Sky distribution of a mapped mode from its per-spherical-mode
-    amplitudes (reference :286-323)."""
+    amplitudes, as one stacked-harmonic contraction (reference
+    :286-323)."""
+    from .spatial_engine import sky_sum
     mask = np.array([mode == map for mode in best_fit["modes"]])
     amps = best_fit["C"][mask]
-    ans = sum(A * sYlm(s3, lp, mp, theta, phi)
-              for (lp, mp), A in zip(best_fit["spherical_modes"], amps))
+    ans = sky_sum(s3, best_fit["spherical_modes"], amps, theta, phi)
     return ans / np.max(np.abs(ans))
 
 
 def spatial_prediction_linear(theta, phi, map, l_max, chif):
-    """Predicted QNM sky pattern from first-order-PT mixing
-    (reference :326-361)."""
+    """Predicted QNM sky pattern from first-order-PT mixing: one batched
+    mu evaluation + one harmonic contraction (reference :326-361)."""
+    from .spatial_engine import sky_sum
     q = get_qnm()
     l, m, n, p = map
-    ans = sum(q.mu(lp, m, l, m, n, p, chif) * sYlm(-2, lp, m, theta, phi)
-              for lp in range(max(2, abs(m)), l_max + 1))
+    lps = list(range(max(2, abs(m)), l_max + 1))
+    amps = np.asarray(q.mu_list([(lp, m, l, m, n, p) for lp in lps], chif))
+    ans = sky_sum(-2, [(lp, m) for lp in lps], amps, theta, phi)
     return ans / np.max(np.abs(ans))
 
 
 def spatial_prediction_quadratic(theta, phi, map, l_max, chif, Qmu,
                                  **kwargs):
-    """Predicted QQNM sky pattern from a Qmu predictor
+    """Predicted QQNM sky pattern from a Qmu predictor: the whole i
+    ladder in one compiled Qmu evaluation + one harmonic contraction
     (reference :364-411)."""
+    from .spatial_engine import sky_sum
     s1 = kwargs.get("s1", -2)
     s2 = kwargs.get("s2", 0)
     s3 = kwargs.get("s3", -2)
     a, b, c, sign1, e, f, g, sign2 = map
     j = b + f
     lpp = max(abs(j), abs(s3))
-    ans = sum(Qmu([(i, j) + tuple(map)], chif, l_max, s1=s1, s2=s2)[0]
-              * sYlm(s3, i, j, theta, phi)
-              for i in range(lpp, l_max + 1))
+    iis = list(range(lpp, l_max + 1))
+    amps = np.asarray(Qmu([(i, j) + tuple(map) for i in iis], chif, l_max,
+                          s1=s1, s2=s2))
+    ans = sky_sum(s3, [(i, j) for i in iis], amps, theta, phi)
     return ans / np.max(np.abs(ans))
 
 
@@ -295,38 +285,43 @@ def spatial_prediction_C(theta, phi, map, chif):
 
 def spatial_mismatch_linear(best_fit, map, chif, l_max=8):
     """Overlap of fitted per-spherical-mode amplitudes with the linear
-    PT mixing prediction (reference :452-502)."""
+    PT mixing prediction, batched mu evaluations (reference :452-502)."""
     q = get_qnm()
     mask = np.array([mode == map for mode in best_fit["modes"]])
     amps = best_fit["C"][mask]
     l, m, n, p = map
-    z = sum(A * np.conj(q.mu(lp, mp, l, m, n, p, chif))
-            for (lp, mp), A in zip(best_fit["spherical_modes"], amps))
+    mus = np.asarray(q.mu_list(
+        [(lp, mp, l, m, n, p) for (lp, mp) in best_fit["spherical_modes"]],
+        chif))
+    z = np.sum(amps * np.conj(mus))
     # l' starts at max(2, |m|): mu is undefined (KeyError) below |m|,
     # same guard as spatial_prediction_linear.
-    den2 = np.abs(sum(np.abs(q.mu(lp, m, l, m, n, p, chif)) ** 2
-                      for lp in range(max(2, abs(m)), l_max + 1)))
+    lps = list(range(max(2, abs(m)), l_max + 1))
+    mus_full = np.asarray(q.mu_list([(lp, m, l, m, n, p) for lp in lps],
+                                    chif))
+    den2 = np.sum(np.abs(mus_full) ** 2)
     den1 = np.abs(np.sum(amps * np.conj(amps)))
     sm = 1 - np.abs(z) / np.sqrt(den1 * den2)
     return sm, np.angle(z), z
 
 
 def spatial_mismatch_quadratic(best_fit, map, l_max, chif, Qmu, **kwargs):
-    """Overlap of fitted amplitudes with a quadratic Qmu prediction
-    (reference :505-564)."""
+    """Overlap of fitted amplitudes with a quadratic Qmu prediction,
+    batched Qmu evaluations (reference :505-564)."""
     s1 = kwargs.get("s1", -2)
     s2 = kwargs.get("s2", 0)
     a, b, c, sign1, e, f, g, sign2 = map
     j = b + f
     mask = np.array([mode == map for mode in best_fit["modes"]])
     amps = best_fit["C"][mask]
-    z = sum(A * np.conj(Qmu([(lp, mp) + tuple(map)], chif, l_max,
-                            s1=s1, s2=s2)[0])
-            for (lp, mp), A in zip(best_fit["spherical_modes"], amps))
-    den2 = np.abs(sum(
-        np.abs(Qmu([(lp, j) + tuple(map)], chif, l_max,
-                   s1=s1, s2=s2)[0]) ** 2
-        for lp in range(max(2, abs(j)), l_max + 1)))
+    alphas = np.asarray(Qmu(
+        [(lp, mp) + tuple(map) for (lp, mp) in best_fit["spherical_modes"]],
+        chif, l_max, s1=s1, s2=s2))
+    z = np.sum(amps * np.conj(alphas))
+    lps = list(range(max(2, abs(j)), l_max + 1))
+    alphas_full = np.asarray(Qmu([(lp, j) + tuple(map) for lp in lps],
+                                 chif, l_max, s1=s1, s2=s2))
+    den2 = np.sum(np.abs(alphas_full) ** 2)
     den1 = np.abs(np.sum(amps * np.conj(amps)))
     sm = 1 - np.abs(z) / np.sqrt(den1 * den2)
     return sm, np.angle(z), z

@@ -137,7 +137,16 @@ class SpectrumTables:
         if side.exists():
             try:
                 zs = np.load(side)
-                if int(zs["M"]) == M and zs["omega_c"].shape[0] == M:
+                # Validate against the artifact's chi grid AND mode data
+                # (not just the mode count): a rebuilt artifact with a
+                # different grid or re-solved modes at the same count
+                # must not load stale coefficients.
+                omega_sum = complex(np.sum(self.omega))
+                if (int(zs["M"]) == M and zs["omega_c"].shape[0] == M
+                        and "chi" in zs
+                        and np.array_equal(zs["chi"], self.chi)
+                        and np.isclose(complex(zs["omega_sum"]), omega_sum,
+                                       rtol=0, atol=0)):
                     self.omega_c = zs["omega_c"]
                     self.mu_c = zs["mu_c"]
                     loaded = True
@@ -149,7 +158,8 @@ class SpectrumTables:
                 self.chi, np.moveaxis(self.mu, 2, 1))   # (M, K, P-1, 4)
             try:
                 tmp = side.with_suffix(".tmp.npz")
-                np.savez(tmp, M=M, omega_c=self.omega_c, mu_c=self.mu_c)
+                np.savez(tmp, M=M, omega_c=self.omega_c, mu_c=self.mu_c,
+                         chi=self.chi, omega_sum=np.sum(self.omega))
                 tmp.replace(side)
             except Exception:       # read-only install: just refit later
                 pass

@@ -140,8 +140,11 @@ class BaseWaveform:
         Here +z is a no-op and -z rotates by pi about x."""
         rot = np.cross([0, 0, 1], self.chif)
         nrm = np.linalg.norm(rot)
-        if nrm < 1e-14 * self.chif_mag:
-            if self.chif[2] > 0:          # already aligned
+        # max(chif_mag, 1) keeps the guard live for a zero-magnitude
+        # spin (nrm == chif_mag == 0 would otherwise fall through to
+        # 0/0); zero spin counts as already aligned.
+        if nrm <= 1e-14 * max(self.chif_mag, 1.0):
+            if self.chif[2] >= 0:         # already aligned (or zero spin)
                 self.chif = np.array([0, 0, self.chif_mag])
                 return
             rot = np.array([np.pi, 0.0, 0.0])   # anti-aligned: flip

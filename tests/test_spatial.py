@@ -168,3 +168,169 @@ def test_mapping_fit_with_unmapped_quadratic(mapping_setup):
     # The data contains no (3,3,0)x(2,2,0) content: its amplitude should
     # be tiny and the fit still near-perfect.
     assert out["mismatch"] < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Compiled spatial engine (spatial_engine): Qmu einsums, mapping sweeps
+# ---------------------------------------------------------------------------
+
+class TestCompiledQmu:
+    """The einsum Qmu engine must reproduce the reference-shaped
+    double-loop oracle exactly (spatial._Qmu_sum_loop)."""
+
+    IDX = [(4, 4, 2, 2, 0, 1, 2, 2, 0, 1),
+           (5, 4, 2, 2, 0, 1, 2, 2, 1, 1),
+           (6, 4, 3, 2, 0, 1, 3, 2, 0, 1),
+           (4, 4, 2, 2, 0, -1, 2, 2, 0, 1),
+           (2, 0, 2, 2, 0, 1, 2, -2, 0, -1)]
+
+    @pytest.mark.parametrize("chif", [0.0, 0.68, 0.95])
+    def test_qmu_A_matches_loop(self, chif):
+        loop = spatial._Qmu_sum_loop(self.IDX, chif, 8, -2, -2)
+        vec = spatial.Qmu_A(self.IDX, chif, l_max=8)
+        np.testing.assert_allclose(vec, loop, rtol=0, atol=1e-13)
+
+    @pytest.mark.parametrize("chif", [0.0, 0.68, 0.95])
+    def test_qmu_B_matches_loop(self, chif):
+        loop = spatial._Qmu_sum_loop(self.IDX, chif, 8, -2, 0)
+        vec = spatial.Qmu_B(self.IDX, chif, l_max=8)
+        np.testing.assert_allclose(vec, loop, rtol=0, atol=1e-13)
+
+    def test_qmu_D_matches_loop(self):
+        extra = lambda i: np.sqrt((i + 4) * (i - 3) * (i + 3) * (i - 2))
+        loop = spatial._Qmu_sum_loop(self.IDX, 0.68, 8, -2, -2, extra=extra)
+        vec = spatial.Qmu_D(self.IDX, 0.68, l_max=8)
+        np.testing.assert_allclose(vec, loop, rtol=0, atol=1e-13)
+
+    def test_array_chif_consistent_with_scalars(self):
+        """The compiled engine supports array chif (beyond the loop
+        oracle, which cannot); columns must equal per-scalar calls."""
+        chifs = np.array([0.1, 0.5, 0.9])
+        arr = np.array(spatial.Qmu_B(self.IDX, chifs, l_max=8))
+        assert arr.shape == (len(self.IDX), 3)
+        for qi, c in enumerate(chifs):
+            col = np.array(spatial.Qmu_B(self.IDX, float(c), l_max=8))
+            np.testing.assert_allclose(arr[:, qi], col, rtol=0, atol=1e-15)
+
+
+@pytest.fixture(scope="module")
+def mapping_sweep_setup(mapping_setup):
+    """Noisy variant of the mapping data so sweep mismatches are O(1e-8),
+    a meaningful equality target (not epsilon-level zeros)."""
+    s = dict(mapping_setup)
+    rng = np.random.default_rng(11)
+    data = {}
+    for lm, h in s["data"].items():
+        scale = 1e-4 * np.max(np.abs(h))
+        data[lm] = h + scale * (rng.standard_normal(len(h))
+                                + 1j * rng.standard_normal(len(h)))
+    s["data"] = data
+    s["modes"] = list(s["lin_modes"]) + [s["quad_mode"]]
+    s["t0s"] = np.linspace(0.0, 20.0, 9)
+    return s
+
+
+class TestMappingSweep:
+    """mapping_mismatch_t0_array: the jitted-engine mapping sweep must
+    match a serial loop of mapping_multimode_ringdown_fit <= 1e-11."""
+
+    def test_batched_matches_loop(self, mapping_sweep_setup):
+        s = mapping_sweep_setup
+        kw = dict(T_array=60, spherical_modes=s["spherical_modes"])
+        mm_loop = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="loop", **kw)
+        mm_bat, C = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="batched",
+            return_amplitudes=True, **kw)
+        np.testing.assert_allclose(mm_bat, mm_loop, rtol=0, atol=1e-11)
+        # Amplitude recovery: the mapped mode's per-sphere amplitudes at
+        # t0=0 match the injected ones to noise level.
+        mm0, C0 = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            np.array([0.0]), [s["quad_mode"]], engine="batched",
+            return_amplitudes=True, **kw)
+        np.testing.assert_allclose(C0[0, -2:], s["amp_quad"], atol=1e-2)
+
+    def test_fast_matches_loop(self, mapping_sweep_setup):
+        s = mapping_sweep_setup
+        kw = dict(T_array=60, spherical_modes=s["spherical_modes"])
+        mm_loop = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="loop", **kw)
+        mm_fast = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="fast", **kw)
+        np.testing.assert_allclose(mm_fast, mm_loop, rtol=0, atol=1e-11)
+
+    def test_sharded_matches_batched(self, mapping_sweep_setup):
+        import jax
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        from qnmfits_tpu.parallel.mesh import sweep_mesh
+        s = mapping_sweep_setup
+        kw = dict(T_array=60, spherical_modes=s["spherical_modes"])
+        mm_bat = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="batched", **kw)
+        mm_sh = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            s["t0s"], [s["quad_mode"]], engine="sharded",
+            mesh=sweep_mesh(n_sweep=8, n_time=1, devices=devs),
+            chunk=2, **kw)
+        np.testing.assert_allclose(mm_sh, mm_bat, rtol=0, atol=1e-11)
+
+
+class TestSpatialMismatchRoundTrip:
+    """Self-consistency: fitting data built FROM a mixing prediction and
+    comparing against that same prediction must give ~zero spatial
+    mismatch (catches conjugation/normalisation slips)."""
+
+    def test_linear_round_trip(self, mapping_setup):
+        from qnmfits_tpu.ref_impl import get_qnm, ringdown
+        s = mapping_setup
+        q = get_qnm()
+        Mf, chif = s["Mf"], s["chif"]
+        lin = (2, 2, 0, 1)
+        [w] = q.omega_list([lin], chif, Mf)
+        A = 0.7 - 0.4j
+        sph = [(2, 2), (3, 2), (4, 2), (5, 2)]
+        times = s["times"]
+        data = {}
+        for lm in sph:
+            [mu] = q.mu_list([lm + lin], chif)
+            data[lm] = ringdown(times, 0.0, [A * mu], [w])
+        out = spatial.mapping_multimode_ringdown_fit(
+            times, data, [lin], Mf, chif, t0=0.0, mapping_modes=[lin],
+            T=100, spherical_modes=sph)
+        sm, phase, z = spatial.spatial_mismatch_linear(out, lin, chif,
+                                                       l_max=8)
+        assert sm < 1e-8
+        # The overlap phase recovers the injected amplitude's phase.
+        assert abs(np.angle(z * np.exp(-1j * np.angle(A)))) < 1e-6
+
+    def test_quadratic_round_trip(self, mapping_setup):
+        from qnmfits_tpu.ref_impl import get_qnm, ringdown
+        s = mapping_setup
+        q = get_qnm()
+        Mf, chif = s["Mf"], s["chif"]
+        quad = s["quad_mode"]
+        [w] = q.omega_list([quad], chif, Mf)
+        A = -0.3 + 0.9j
+        # Span the full l' range of the prediction (max(2,|j|)..l_max):
+        # the overlap denominator sums over it, so any uncovered row
+        # leaves a definitional (not numerical) residual.
+        sph = [(4, 4), (5, 4), (6, 4), (7, 4), (8, 4)]
+        times = s["times"]
+        alphas = np.array(spatial.Qmu_B([lm + quad for lm in sph], chif,
+                                        l_max=8))
+        data = {lm: ringdown(times, 0.0, [A * alphas[i]], [w])
+                for i, lm in enumerate(sph)}
+        out = spatial.mapping_multimode_ringdown_fit(
+            times, data, [quad], Mf, chif, t0=0.0, mapping_modes=[quad],
+            T=100, spherical_modes=sph)
+        sm, phase, z = spatial.spatial_mismatch_quadratic(
+            out, quad, 8, chif, spatial.Qmu_B)
+        assert sm < 1e-8
