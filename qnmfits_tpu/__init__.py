@@ -78,6 +78,10 @@ from .fitting import (  # noqa: E402
     ringdown,
     ringdown_fit,
 )
+from .optimize import (  # noqa: E402
+    calculate_epsilon_array,
+    free_frequency_fit_array,
+)
 from .plotting import (  # noqa: E402
     plot_mismatch_M_chi_grid,
     plot_mismatch_omega_grid,

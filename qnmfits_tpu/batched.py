@@ -534,7 +534,9 @@ def _modesets_spectrum_fn(sets_key, sph):
             mus_.append(jnp.pad(mu, ((0, 0), (0, J - w.shape[0]))))
         return jnp.stack(ws), jnp.stack(mus_)
 
-    return jax.jit(eval_all), masks
+    # Scalar-remnant entry plus a vmapped one over an (R,) remnant axis
+    # (the per-spin spectra of a whole remnant study in one dispatch).
+    return jax.jit(eval_all), jax.jit(jax.vmap(eval_all)), masks
 
 
 @lru_cache(maxsize=64)
@@ -559,9 +561,18 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     J with identity Gram rows, padded amplitudes exactly zero).
     t0_array must be sorted ascending (t0_method='geq').
 
-    Returns mm (S, B); with return_amplitudes=True also a list of S
-    complex (B, len(mode_sets[s])) amplitude arrays.  Pass ``mesh`` (or
-    mesh='auto') to shard the start-time axis over a device mesh.
+    chif and/or Mf may also be 1-D arrays (the REMNANT axis R,
+    broadcast together): the per-spin spectra are stacked into the
+    vmapped set axis, so a whole (mode set x remnant x t0) study runs
+    as ONE jitted program instead of a Python loop over spins (the
+    reference's triple-nested loop, qnmfits.py:1271-1299 x 1391-1410
+    x mode sets).
+
+    Returns mm (S, B) for scalar remnant, (S, R, B) with a remnant
+    axis; with return_amplitudes=True also a list of S complex
+    (B, len(mode_sets[s])) (or (R, B, len)) amplitude arrays.  Pass
+    ``mesh`` (or mesh='auto') to shard the start-time axis over a
+    device mesh.
     """
     times, rows, sph = _prep(times, data, spherical_modes)
     t0s = np.asarray(t0_array, float)
@@ -571,19 +582,38 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
 
     from .engine import check_spin
-    check_spin(chif)
+    scalar_remnant = np.ndim(Mf) == 0 and np.ndim(chif) == 0
+    if np.ndim(Mf) > 1 or np.ndim(chif) > 1:
+        raise ValueError("Mf/chif must be scalars or 1-D remnant arrays")
+    chif_arr, Mf_arr = np.broadcast_arrays(
+        np.atleast_1d(np.asarray(chif, float)),
+        np.atleast_1d(np.asarray(Mf, float)))
+    for c in chif_arr:
+        check_spin(float(c))
+    R = len(chif_arr)
+
     sets = [list(_canon(ms)) for ms in mode_sets]
     sets_key = tuple(tuple(ms) for ms in sets)
-    fn, masks = _modesets_spectrum_fn(sets_key, sph)
+    S = len(sets)
+    fn, fn_vmap, masks = _modesets_spectrum_fn(sets_key, sph)
     with _on_host():
-        omegas_j, mus_j = fn(float(chif), float(Mf))
+        if scalar_remnant:
+            omegas_j, mus_j = fn(float(chif), float(Mf))
+        else:
+            omegas_j, mus_j = fn_vmap(chif_arr, Mf_arr)
         omegas = np.asarray(omegas_j)
         mus = np.asarray(mus_j)
+    if not scalar_remnant:
+        # Fold the remnant axis into the vmapped set axis: (R, S, ...)
+        # -> (R*S, ...), row r*S + s.
+        omegas = omegas.reshape(R * S, omegas.shape[-1])
+        mus = mus.reshape((R * S,) + mus.shape[-2:])
+    masks_run = masks if scalar_remnant else np.tile(masks, (R, 1))
 
     chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))), chunk)
     args = (times, rows.real.copy(), rows.imag.copy(),
             omegas.real.copy(), omegas.imag.copy(),
-            mus.real.copy(), mus.imag.copy(), t0s, Ts, masks)
+            mus.real.copy(), mus.imag.copy(), t0s, Ts, masks_run)
     if mesh is not None:
         from .parallel.mesh import (sharded_t0_sweep_modesets_factored,
                                     sweep_mesh)
@@ -594,10 +624,17 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     else:
         Cre, Cim, mm = _t0_sweep_modesets_fn(chunk)(*args)
     mm = np.asarray(mm)
+    if scalar_remnant:
+        if not return_amplitudes:
+            return mm
+        C = np.asarray(Cre) + 1j * np.asarray(Cim)
+        return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]
+    B = mm.shape[-1]
+    mm = np.moveaxis(mm.reshape(R, S, B), 0, 1)          # (S, R, B)
     if not return_amplitudes:
         return mm
-    C = np.asarray(Cre) + 1j * np.asarray(Cim)
-    return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]
+    C = (np.asarray(Cre) + 1j * np.asarray(Cim)).reshape(R, S, B, -1)
+    return mm, [C[:, si, :, :len(ms)] for si, ms in enumerate(sets)]
 
 
 def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,

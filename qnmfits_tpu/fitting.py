@@ -314,9 +314,13 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
 
     mode_sets: list of mode lists (ragged lengths fine -- padded with
     exact-zero amplitude slots).  t0_array sorted ascending
-    (t0_method='geq').  Returns mm (S, B); with return_amplitudes=True
-    also a list of per-set complex (B, len(mode_set)) amplitude arrays.
-    Pass mesh='auto' (or an explicit Mesh) to shard over devices.
+    (t0_method='geq').  chif and/or Mf may be 1-D arrays (a remnant
+    axis R): the per-spin spectra fold into the vmapped set axis and
+    the whole (set x remnant x t0) study is one program.  Returns mm
+    (S, B), or (S, R, B) with a remnant axis; with
+    return_amplitudes=True also a list of per-set complex
+    (B, len(mode_set)) (or (R, B, len)) amplitude arrays.  Pass
+    mesh='auto' (or an explicit Mesh) to shard over devices.
     """
     from .batched import batch_mismatch_t0_modesets
     return batch_mismatch_t0_modesets(

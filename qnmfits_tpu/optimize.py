@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from .engine import SpectrumEvaluator, _device_for, _window, fit_core
 
-__all__ = ["calculate_epsilon_gradient", "free_frequency_fit_gradient"]
+__all__ = ["calculate_epsilon_gradient", "free_frequency_fit_gradient",
+           "free_frequency_fit_array", "calculate_epsilon_array"]
 
 
 def _canon(modes):
@@ -144,3 +145,215 @@ def free_frequency_fit_gradient(times, data, t0, modes=[], Mf=None,
                    bounds=[(0.0, 2.0), (-1.0, 0.0)],
                    options={"ftol": 1e-15, "gtol": 1e-14})
     return res.x[0] + 1j * res.x[1]
+
+
+# ---------------------------------------------------------------------------
+# Batched optimiser sweeps: every start time in ONE jitted program
+# ---------------------------------------------------------------------------
+#
+# The reference's free-frequency / epsilon studies loop a scipy
+# Nelder-Mead per start time (free_frequency_fitting.ipynb cell 3 around
+# qnmfits.py:1905-2043; epsilon envelopes around :1418-1594) -- one
+# Python round-trip per optimisation.  Here the whole t0 axis is a vmap
+# over an in-jit optimiser, so B optimisations run lock-step as one
+# device program.  The optimiser is deterministic seed-grid + damped
+# Newton: an in-jit BFGS (jax.scipy.optimize.minimize) was measured
+# both slower (line-search while_loops run lock-step across the batch)
+# and less robust (stalls on the flat mid-t0 shelves of this landscape)
+# than 20-30 Newton steps from the best grid seed, at equal accuracy.
+
+def _newton_polish(mm_fn, x0, f0, iters: int = 12):
+    """Damped-Newton (Levenberg) local stage for a tiny (2-D) objective.
+
+    With only 2 parameters the exact Hessian via jax.hessian costs one
+    extra fit per step and converges quadratically to the
+    machine-precision optimum -- no line search, so the lock-step
+    vmapped cost is a fixed `iters` fits.  Steps that fail to decrease
+    the objective are rejected and the damping grows (NaN-safe: a NaN
+    trial never replaces x).
+    """
+    eye = jnp.eye(x0.shape[0], dtype=x0.dtype)
+
+    def body(carry, _):
+        x, fx, lam = carry
+        g = jax.grad(mm_fn)(x)
+        H = jax.hessian(mm_fn)(x)
+        step = jnp.linalg.solve(H + lam * eye, -g)
+        xn = x + step
+        fn_ = mm_fn(xn)
+        better = fn_ < fx
+        x = jnp.where(better, xn, x)
+        fx = jnp.where(better, fn_, fx)
+        lam = jnp.where(better, lam * 0.3, lam * 8.0)
+        return (x, fx, lam), None
+
+    (x, fx, _), _ = jax.lax.scan(body, (x0, f0, jnp.asarray(1e-9)),
+                                 None, length=iters)
+    return x, fx
+
+
+@lru_cache(maxsize=64)
+def _free_freq_sweep_fn(modes, t0_method, maxiter):
+    ev = SpectrumEvaluator(list(modes)) if modes else None
+
+    # Deterministic coarse seeding over the scipy path's search box
+    # (re in (0, 2), im in (-1, 0)): the mid-t0 landscape has spurious
+    # shelves where a single-start quasi-Newton stalls; evaluating a
+    # static candidate grid is a tiny vmapped batch of fits and puts
+    # the local stage inside the right basin.
+    re_g = np.linspace(0.08, 1.9, 16)
+    im_g = np.geomspace(0.012, 0.9, 12)
+    GRID = np.stack(np.meshgrid(re_g, -im_g, indexing="ij"),
+                    axis=-1).reshape(-1, 2)
+
+    def one(times, data, fixed, t0, T, x0):
+        w = _window(times, t0, T, t0_method)
+
+        def mm_fn(x):
+            omega = jnp.concatenate(
+                [fixed, (x[0] + 1j * x[1])[None].astype(jnp.complex128)])
+            mu = jnp.ones((1, omega.shape[0]))
+            _, mm = fit_core(times, data, omega, mu, t0, w,
+                             jnp.complex128)
+            return mm
+
+        cand = jnp.concatenate([jnp.asarray(GRID), x0[None, :]], axis=0)
+        vals = jax.vmap(mm_fn)(cand)
+        k = jnp.nanargmin(vals)
+        x, fx = _newton_polish(mm_fn, cand[k], vals[k], iters=maxiter)
+        # Converged when the Newton stage actually improved on its seed
+        # (a stuck polish leaves fx == vals[k]).
+        return x, fx, fx <= vals[k]
+
+    def run(times, data, Mf, chif, t0s, Ts, x0):
+        fixed = ev.omega(chif, Mf) if ev is not None \
+            else jnp.zeros((0,), jnp.complex128)
+        return jax.vmap(one, in_axes=(None, None, None, 0, 0, None))(
+            times, data, fixed, t0s, Ts, x0)
+
+    return jax.jit(run)
+
+
+def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
+                             chif=None, t0_method="geq", T_array=100,
+                             x0=(1.0, -0.5), maxiter=30,
+                             return_mismatch=False):
+    """Free complex-frequency fit at EVERY start time in one program.
+
+    The in-jit equivalent of looping free_frequency_fit over t0_array
+    (the reference's free_frequency_fitting.ipynb cell-3 loop: one
+    scipy optimisation and device round-trip per t0): a deterministic
+    seed grid over the search box then `maxiter` damped-Newton steps,
+    vmapped over the whole t0 axis.  Matches the per-item gradient path
+    to <= 1e-6 in omega (tests/test_optimize.py).
+
+    Returns omega_bestfit (B,) complex; with return_mismatch=True also
+    the (B,) mismatch at the optimum and the (B,) success mask.
+    """
+    if modes and (Mf is None or chif is None):
+        raise ValueError(
+            "free_frequency_fit with fixed QNM modes requires Mf and chif")
+    from .engine import check_spin
+    check_spin(chif)
+    fn = _free_freq_sweep_fn(_canon(modes), t0_method, int(maxiter))
+    t0s = np.asarray(t0_array, float)
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+    dev = _device_for("x64")
+    args = [jax.device_put(np.asarray(a), dev)
+            for a in (np.asarray(times, float),
+                      np.asarray(data, complex)[None, :],
+                      1.0 if Mf is None else float(Mf),
+                      0.0 if chif is None else float(chif),
+                      t0s, Ts, np.asarray(x0, float))]
+    x, mm, ok = fn(*args)
+    x = np.asarray(x)
+    omega = x[:, 0] + 1j * x[:, 1]
+    if return_mismatch:
+        return omega, np.asarray(mm), np.asarray(ok)
+    return omega
+
+
+@lru_cache(maxsize=64)
+def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
+    ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
+
+    # Local seed offsets around the caller's x0 (the true remnant, as
+    # in the reference): the optimum is near-interior by construction,
+    # a +-0.12 patch of candidates guards against starting on a shelf.
+    d = np.linspace(-0.12, 0.12, 5)
+    OFFS = np.stack(np.meshgrid(d, d, indexing="ij"), -1).reshape(-1, 2)
+
+    def one(times, data, t0, T, delta_factor, x0):
+        w = _window(times, t0, T, t0_method)
+
+        def mm_fn(x):
+            # Same interior clip as the single-fit objective: the
+            # L-BFGS-B bounds (Mf in [0,2], chif in [0,0.99]) protect an
+            # interior optimum; outside starts are clipped back.
+            Mf = jnp.clip(x[0], 1e-3, 2.0)
+            chif = jnp.clip(x[1], 0.0, 0.99)
+            omega = ev.omega(chif, Mf, delta_factor)
+            mu = jnp.ones((1, omega.shape[0])) if sph is None \
+                else ev.mu(chif)
+            _, mm = fit_core(times, data, omega, mu, t0, w,
+                             jnp.complex128)
+            return mm
+
+        cand = x0[None, :] + jnp.asarray(OFFS)
+        vals = jax.vmap(mm_fn)(cand)
+        k = jnp.nanargmin(vals)
+        x, fx = _newton_polish(mm_fn, cand[k], vals[k], iters=maxiter)
+        x = x.at[0].set(jnp.clip(x[0], 1e-3, 2.0))
+        x = x.at[1].set(jnp.clip(x[1], 0.0, 0.99))
+        return x, fx, fx <= vals[k]
+
+    def run(times, data, t0s, Ts, delta_factor, x0):
+        return jax.vmap(one, in_axes=(None, None, 0, 0, None, None))(
+            times, data, t0s, Ts, delta_factor, x0)
+
+    return jax.jit(run)
+
+
+def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
+                            t0_method="geq", T_array=100,
+                            spherical_modes=None, delta=0.0, x0=None,
+                            maxiter=30, return_remnant=True):
+    """Remnant recovery (epsilon) at EVERY start time in one program.
+
+    The in-jit (seed patch + damped Newton, vmapped) equivalent of
+    looping calculate_epsilon over t0_array (reference
+    qnmfits.py:1418-1594 per start time).  Returns
+    (eps (B,), Mf_bf (B,), chif_bf (B,)) -- or just eps with
+    return_remnant=False.
+    """
+    from .ref_impl import _delta_factor
+    from .engine import check_spin
+    check_spin(chif)
+
+    if isinstance(data, dict):
+        if spherical_modes is None:
+            spherical_modes = list(data.keys())
+        rows = np.stack([np.asarray(data[lm]) for lm in spherical_modes])
+        sph = tuple(tuple(lm) for lm in spherical_modes)
+    else:
+        rows = np.asarray(data)[None, :]
+        sph = None
+
+    fn = _epsilon_sweep_fn(_canon(modes), sph, t0_method, int(maxiter))
+    df = np.asarray(_delta_factor(0.0 if sph is not None else delta,
+                                  len(modes)))
+    t0s = np.asarray(t0_array, float)
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+    dev = _device_for("x64")
+    args = [jax.device_put(np.asarray(a), dev)
+            for a in (np.asarray(times, float), rows, t0s, Ts, df,
+                      np.asarray(x0 if x0 is not None else [Mf, chif],
+                                 float))]
+    x, mm, ok = fn(*args)
+    x = np.asarray(x)
+    eps = np.sqrt((x[:, 0] - Mf) ** 2 + (x[:, 1] - chif) ** 2)
+    if return_remnant:
+        return eps, x[:, 0], x[:, 1]
+    return eps

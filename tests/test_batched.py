@@ -254,6 +254,38 @@ class TestModesetSweep:
             return_amplitudes=True)
         np.testing.assert_allclose(Cs[1], C_ref, rtol=0, atol=1e-9)
 
+
+    def test_remnant_axis_folds_into_set_axis(self, syn_mm):
+        """chif (and Mf) arrays fold per-spin spectra into the vmapped
+        set axis: (S, R, B) output equal to per-spin scalar calls."""
+        mode_sets = [[(2, 2, n, 1) for n in range(nmax)]
+                     for nmax in (1, 3)]
+        t0s = np.linspace(0.0, 12.0, 5)
+        chifs = np.array([0.60, syn_mm["chif"], 0.75])
+        kw = dict(T_array=80.0, spherical_modes=syn_mm["spherical_modes"],
+                  return_amplitudes=True)
+        mm_arr, C_arr = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], chifs, t0s, **kw)
+        assert mm_arr.shape == (2, 3, 5)
+        assert C_arr[0].shape == (3, 5, 1) and C_arr[1].shape == (3, 5, 3)
+        for r, c in enumerate(chifs):
+            mm_s, C_s = batched.batch_mismatch_t0_modesets(
+                syn_mm["times"], syn_mm["data_dict"], mode_sets,
+                syn_mm["Mf"], float(c), t0s, **kw)
+            np.testing.assert_allclose(mm_arr[:, r], mm_s, rtol=0,
+                                       atol=1e-12)
+            for s in range(len(mode_sets)):
+                np.testing.assert_allclose(C_arr[s][r], C_s[s], rtol=0,
+                                           atol=1e-10)
+
+    def test_remnant_axis_bad_spin_raises(self, syn_mm):
+        with pytest.raises(ValueError, match="chif"):
+            batched.batch_mismatch_t0_modesets(
+                syn_mm["times"], syn_mm["data_dict"], [syn_mm["modes"]],
+                syn_mm["Mf"], np.array([0.5, 1.2]),
+                np.linspace(0.0, 5.0, 3))
+
     def test_unsorted_t0_raises(self, syn_mm):
         with pytest.raises(ValueError, match="sorted"):
             batched.batch_mismatch_t0_modesets(

@@ -289,3 +289,43 @@ class TestEdgeBehavior:
             t0s, T_array=60.0, engine="fast")
         assert np.all(np.isfinite(mm_b)) and np.all(np.isfinite(mm_f))
         np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+
+class TestMirrorQuadratic:
+    """The modeling_memory mode content: the (2,2,0,+1)x(2,-2,0,-1)
+    MIRROR quadratic (reference modeling_memory.ipynb cells 4-10)."""
+
+    def test_mirror_sum_frequency_is_pure_imaginary(self):
+        """omega(2,-2,0,-1) = -conj(omega_220), so the mirror-quadratic
+        sum is 2i Im(omega_220): zero real part (the -conj mirror
+        symmetry, reference qnm.py:232-233 + nonlinear sum :272-291)."""
+        import qnmfits_tpu as qf
+        chif, Mf = 0.692, 0.952
+        w220 = qf.qnm.omega(2, 2, 0, 1, chif, Mf)
+        w_mirror = qf.qnm.omega(2, -2, 0, -1, chif, Mf)
+        assert abs(w_mirror - (-np.conj(w220))) < 1e-14
+        [w_quad] = qf.qnm.omega_list([(2, 2, 0, 1, 2, -2, 0, -1)],
+                                     chif, Mf)
+        assert abs(w_quad - 2j * w220.imag) < 1e-14
+        assert abs(w_quad.real) < 1e-14
+
+    def test_free_frequency_recovers_mirror_quadratic(self):
+        """End-to-end: fit h20-like data containing the mirror pair +
+        mirror quadratic, recover the quadratic's (purely imaginary)
+        frequency as the free mode on top of the fixed pair."""
+        import qnmfits_tpu as qf
+        chif, Mf = 0.692, 0.952
+        times = np.arange(-10.0, 120.0, 0.1)
+        pair = [(2, 0, 0, 1), (2, 0, 0, -1)]
+        quad = (2, 2, 0, 1, 2, -2, 0, -1)
+        content = pair + [quad]
+        freqs = np.array(qf.qnm.omega_list(content, chif, Mf))
+        amps = np.array([0.8 + 0.1j, 0.75 - 0.12j, 0.35 + 0.0j])
+        h20 = qf.ringdown(times, 0.0, amps, freqs)
+        w_fit = qf.free_frequency_fit_array(
+            times, h20, np.array([5.0, 10.0]), modes=pair, Mf=Mf,
+            chif=chif)
+        target = freqs[2]
+        assert np.min(np.abs(w_fit - target)) < 1e-4
+        # Pure-imaginary recovery: the real part must be ~zero.
+        assert np.min(np.abs(w_fit.real)) < 1e-4
