@@ -423,20 +423,30 @@ def _spectra_sweep_fn(chunk):
     return jax.jit(lambda *a: sweep_spectra_real(*a, chunk=chunk))
 
 
-def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk):
+def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
+                       mesh=None):
     """Split-complex spectrum-batched sweep: omegas (Q, J), mus (Q, I, J)
-    complex host arrays; returns (C (Q, J) complex, mm (Q,))."""
-    Cre, Cim, mm = _spectra_sweep_fn(chunk)(
-        np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
-        omegas.real.copy(), omegas.imag.copy(),
-        mus.real.copy(), mus.imag.copy(),
-        float(t0), np.asarray(w, float))
+    complex host arrays; returns (C (Q, J) complex, mm (Q,)).  Pass
+    ``mesh`` to shard the grid axis over devices (DP, one gather)."""
+    args = (np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
+            omegas.real.copy(), omegas.imag.copy(),
+            mus.real.copy(), mus.imag.copy(),
+            float(t0), np.asarray(w, float))
+    if mesh is not None:
+        from .parallel.mesh import sharded_spectra_sweep, sweep_mesh
+        if mesh == "auto":
+            mesh = sweep_mesh(n_time=1)
+        Cre, Cim, mm = sharded_spectra_sweep(*args, mesh=mesh,
+                                             chunk=chunk)
+    else:
+        Cre, Cim, mm = _spectra_sweep_fn(chunk)(*args)
     return np.asarray(Cre) + 1j * np.asarray(Cim), np.asarray(mm)
 
 
 def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
                               t0, t0_method="geq", T=100, res=50,
-                              spherical_modes=None, delta=0.0, chunk=64):
+                              spherical_modes=None, delta=0.0, chunk=64,
+                              mesh=None):
     """(Mf, chif) grid on the split-complex TPU kernel (hot loop #2,
     reference qnmfits.py:1304-1415): the spectrum is spline-evaluated
     host-side for every grid point at once, the res^2 Gram solves run
@@ -465,13 +475,14 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
     window = window_geq if t0_method == "geq" else window_closest
     with _on_host():
         w = np.asarray(window(times, float(t0), float(T)), float)
-    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
+    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
+                               mesh=mesh)
     return mm.reshape(res, res)
 
 
 def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
                               im_minmax, t0, t0_method="geq", T=100,
-                              res=50, chunk=64):
+                              res=50, chunk=64, mesh=None):
     """Complex-frequency grid on the split-complex TPU kernel (hot loop
     #3, reference qnmfits.py:1679-1827): fixed QNM frequencies plus one
     free frequency per grid point, one jitted spectrum-batched sweep.
@@ -499,7 +510,8 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     window = window_geq if t0_method == "geq" else window_closest
     with _on_host():
         w = np.asarray(window(times, float(t0), float(T)), float)
-    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk)
+    _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
+                               mesh=mesh)
     return mm.reshape(res, res).T
 
 

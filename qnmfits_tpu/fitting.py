@@ -332,23 +332,27 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
 def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,
                         t0_method="geq", T=100, res=50,
                         spherical_modes=None, delta=0.0, engine="batched",
-                        precision="x64"):
+                        precision="x64", mesh=None):
     """Mismatch over an (Mf, chif) grid (reference qnmfits.py:1304-1415).
 
     engine: 'batched' (one jitted x64 sweep, default), 'fast' (the
     split-complex TPU kernel -- host-side spectrum evaluation, one
-    spectrum-batched device sweep), or 'loop' (reference-style NumPy).
+    spectrum-batched device sweep), 'sharded' (the fast kernel with the
+    grid axis data-parallel over a device mesh; ``mesh`` defaults to
+    all devices), or 'loop' (reference-style NumPy).
     """
     if engine == "loop":
         return ref_impl.mismatch_M_chi_grid(
             times, data, modes, Mf_minmax, chif_minmax, t0, t0_method, T,
             res, spherical_modes, delta)
-    if engine == "fast":
+    if engine in ("fast", "sharded"):
         from .batched import batch_mismatch_M_chi_fast
+        if engine == "sharded" and mesh is None:
+            mesh = "auto"
         return batch_mismatch_M_chi_fast(
             times, data, modes, Mf_minmax, chif_minmax, t0,
             t0_method=t0_method, T=T, res=res,
-            spherical_modes=spherical_modes, delta=delta)
+            spherical_modes=spherical_modes, delta=delta, mesh=mesh)
     from .batched import batch_mismatch_M_chi
     return batch_mismatch_M_chi(
         times, data, modes, Mf_minmax, chif_minmax, t0, t0_method=t0_method,
@@ -358,22 +362,25 @@ def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,
 
 def mismatch_omega_grid(times, data, modes, Mf, chif, re_minmax, im_minmax,
                         t0, t0_method="geq", T=100, res=50,
-                        engine="batched", precision="x64"):
+                        engine="batched", precision="x64", mesh=None):
     """Mismatch over a complex-frequency grid for one free mode
     (reference qnmfits.py:1679-1827).
 
-    engine: 'batched' (default), 'fast' (split-complex TPU kernel), or
-    'loop' (reference-style NumPy).
+    engine: 'batched' (default), 'fast' (split-complex TPU kernel),
+    'sharded' (the fast kernel, grid axis data-parallel over a device
+    mesh), or 'loop' (reference-style NumPy).
     """
     if engine == "loop":
         return ref_impl.mismatch_omega_grid(
             times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
             t0_method, T, res)
-    if engine == "fast":
+    if engine in ("fast", "sharded"):
         from .batched import batch_mismatch_omega_fast
+        if engine == "sharded" and mesh is None:
+            mesh = "auto"
         return batch_mismatch_omega_fast(
             times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
-            t0_method=t0_method, T=T, res=res)
+            t0_method=t0_method, T=T, res=res, mesh=mesh)
     from .batched import batch_mismatch_omega
     return batch_mismatch_omega(
         times, data, modes, Mf, chif, re_minmax, im_minmax, t0,

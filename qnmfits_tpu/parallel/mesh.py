@@ -33,7 +33,7 @@ from ..ops.windows import window_closest, window_geq
 __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
            "sharded_t0_sweep_real", "sharded_fit_core_real",
            "sharded_t0_sweep_factored",
-           "sharded_t0_sweep_modesets_factored"]
+           "sharded_t0_sweep_modesets_factored", "sharded_spectra_sweep"]
 
 
 def _host_trapz(times, w):
@@ -371,3 +371,41 @@ def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
     return jax.jit(run)(t_np, np.asarray(dre), np.asarray(dim),
                         np.asarray(wr), np.asarray(wi), np.asarray(mre),
                         np.asarray(mim), w_np, tau)
+
+
+def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
+                          mesh: Mesh, col_mask=None, chunk: int = 64):
+    """Grid sweep sharded over 'sweep': pure data parallelism over the
+    Q spectrum-batched grid points (the (Mf, chif) and free-frequency
+    hot loops at multi-chip scale; reference qnmfits.py:1304-1415,
+    1679-1827 are serial loops).
+
+    times (K,), dre/dim (I, K), t0 scalar, w (K,) replicated;
+    wrs/wis (Q, J), mres/mims (Q, I, J) sharded on Q.  Returns
+    (Cre (Q, J), Cim (Q, J), mm (Q,)) gathered.
+    """
+    from ..engine_real import sweep_spectra_real
+
+    n_sweep = mesh.shape["sweep"]
+    wrs = np.asarray(wrs)
+    Q = wrs.shape[0]
+    wrs_p, _ = _pad_to(wrs, n_sweep)
+    wis_p, _ = _pad_to(np.asarray(wis), n_sweep)
+    mres_p, _ = _pad_to(np.asarray(mres), n_sweep)
+    mims_p, _ = _pad_to(np.asarray(mims), n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("sweep"), P("sweep"), P("sweep"),
+                  P("sweep"), P()),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, dre_, dim_, wrs_, wis_, mres_, mims_, w_):
+        return sweep_spectra_real(times_, dre_, dim_, wrs_, wis_,
+                                  mres_, mims_, t0, w_,
+                                  col_mask=col_mask, chunk=chunk)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(dre), np.asarray(dim),
+        wrs_p, wis_p, mres_p, mims_p, np.asarray(w))
+    return Cre[:Q], Cim[:Q], mm[:Q]

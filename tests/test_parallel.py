@@ -218,3 +218,34 @@ def test_sharded_t0_sweep_closest_method(cpu_devices, problem):
     _, mm_g = sharded_t0_sweep(times, data, omega, mu, t0s, Ts,
                                mesh=mesh, cdtype=jnp.complex128)
     assert abs(float(mm_g[0]) - float(mm_s[0])) > 0
+
+
+def test_sharded_grid_sweeps_match_fast(cpu_devices):
+    """engine='sharded' grid hot loops: DP over grid points on the
+    spectrum-batched kernel == single-device fast engine (VERDICT r2
+    item 5)."""
+    from qnmfits_tpu import fitting
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=1e-4, seed=21)
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    kw = dict(t0=5.0, T=80.0, res=9)
+
+    mm_f = fitting.mismatch_M_chi_grid(
+        syn["times"], syn["data"], syn["modes"], (0.8, 1.1), (0.4, 0.9),
+        engine="fast", **kw)
+    mm_s = fitting.mismatch_M_chi_grid(
+        syn["times"], syn["data"], syn["modes"], (0.8, 1.1), (0.4, 0.9),
+        engine="sharded", mesh=mesh, **kw)
+    np.testing.assert_allclose(mm_s, mm_f, rtol=0, atol=1e-12)
+
+    mm_fo = fitting.mismatch_omega_grid(
+        syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+        syn["chif"], (0.3, 0.8), (-0.4, -0.05), engine="fast", **kw)
+    mm_so = fitting.mismatch_omega_grid(
+        syn["times"], syn["data"], syn["modes"][:1], syn["Mf"],
+        syn["chif"], (0.3, 0.8), (-0.4, -0.05), engine="sharded",
+        mesh=mesh, **kw)
+    np.testing.assert_allclose(mm_so, mm_fo, rtol=0, atol=1e-12)
