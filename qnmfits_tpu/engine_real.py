@@ -652,3 +652,117 @@ def sweep_t0_modesets_suffix_real(times, dre, dim, wrs, wis, mres, mims,
 
     return jax.lax.map(per_set, (wrs, wis, mres, mims, col_masks),
                        batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-contraction grid sweep (PERF.md section 10)
+# ---------------------------------------------------------------------------
+#
+# The per-item grid kernel (sweep_spectra_real) pays one (K, J)^T (K, J)
+# Gram product per grid point: at J = 8 the batched matmuls use a sliver
+# of the 128x128 MXU tile.  Here a BLOCK of Qb grid points is flattened
+# into one (Qb*J, K) @ (K, Qb*J) contraction -- full MXU tiles at
+# Qb*J = 128 -- and the per-item (J, J) Grams are the diagonal blocks of
+# the result.  The off-diagonal (cross-item) blocks are wasted work
+# (factor Qb more FLOPs), so this wins only if the utilisation gain
+# exceeds Qb; both outcomes are recorded in PERF.md.
+
+def _diag_blocks(X, Qb, J):
+    """Diagonal (J, J) blocks of a (Qb*J, Qb*J) matrix -> (Qb, J, J)."""
+    X4 = X.reshape(Qb, J, Qb, J)
+    return jnp.moveaxis(jnp.diagonal(X4, axis1=0, axis2=2), -1, 0)
+
+
+def sweep_spectra_blocked_real(times, dre, dim, wrs, wis, mres, mims, t0,
+                               w, col_mask=None, block: int = 16):
+    """Spectrum-batched grid sweep via blocked Gram contractions.
+
+    Same contract as sweep_spectra_real (wrs/wis (Q, J), mres/mims
+    (Q, I, J), shared window w); Q is padded to a multiple of ``block``
+    internally.  Returns (Cre (Q, J), Cim (Q, J), mm (Q,)).
+    """
+    Q, J = wrs.shape
+    I = dre.shape[0]
+    tau = _trapz_weights(times, w)
+    dnorm = jnp.sum(tau[None, :] * (dre * dre + dim * dim))
+
+    pad = (-Q) % block
+    if pad:
+        wrs = jnp.concatenate([wrs, jnp.tile(wrs[-1:], (pad, 1))])
+        wis = jnp.concatenate([wis, jnp.tile(wis[-1:], (pad, 1))])
+        mres = jnp.concatenate([mres, jnp.tile(mres[-1:], (pad, 1, 1))])
+        mims = jnp.concatenate([mims, jnp.tile(mims[-1:], (pad, 1, 1))])
+    nb = wrs.shape[0] // block
+
+    dwre = dre * w[None, :]
+    dwim = dim * w[None, :]
+
+    def one_block(args):
+        wr, wi, mre, mim = args                    # (Qb, J), (Qb, I, J)
+        Qb = wr.shape[0]
+        dt = (times[:, None] - t0) * w[:, None]    # (K, 1)
+        wrf = wr.reshape(-1)
+        wif = wi.reshape(-1)
+        E = jnp.exp(wif[None, :] * dt)
+        ph = wrf[None, :] * dt
+        P = E * jnp.cos(ph)                        # (K, Qb*J)
+        Qm = -E * jnp.sin(ph)
+        Pw = P * w[:, None]
+        Qw = Qm * w[:, None]
+
+        Gt_re = _diag_blocks(Pw.T @ Pw + Qw.T @ Qw, Qb, J)
+        Gt_im = _diag_blocks(Pw.T @ Qw - Qw.T @ Pw, Qb, J)
+        Pt = P * tau[:, None]
+        Qt = Qm * tau[:, None]
+        Gtau_re = _diag_blocks(Pt.T @ P + Qt.T @ Qm, Qb, J)
+        Gtau_im = _diag_blocks(Pt.T @ Qm - Qt.T @ P, Qb, J)
+
+        M_re = jnp.einsum("qij,qil->qjl", mre, mre) \
+            + jnp.einsum("qij,qil->qjl", mim, mim)
+        M_im = jnp.einsum("qij,qil->qjl", mre, mim) \
+            - jnp.einsum("qij,qil->qjl", mim, mre)
+        G_re = M_re * Gt_re - M_im * Gt_im
+        G_im = M_re * Gt_im + M_im * Gt_re
+        G2_re = M_re * Gtau_re - M_im * Gtau_im
+        G2_im = M_re * Gtau_im + M_im * Gtau_re
+
+        # Projections: (I, Qb*J) -> (Qb, I, J).
+        pd_re = jnp.moveaxis((dwre @ Pw + dwim @ Qw).reshape(I, Qb, J),
+                             0, 1)                 # (Qb, I, J)
+        pd_im = jnp.moveaxis((dwim @ Pw - dwre @ Qw).reshape(I, Qb, J),
+                             0, 1)
+        rhs_re = jnp.sum(mre * pd_re + mim * pd_im, axis=1)   # (Qb, J)
+        rhs_im = jnp.sum(mre * pd_im - mim * pd_re, axis=1)
+        pdt_re = jnp.moveaxis((dre @ Pt + dim @ Qt).reshape(I, Qb, J),
+                              0, 1)
+        pdt_im = jnp.moveaxis((dim @ Pt - dre @ Qt).reshape(I, Qb, J),
+                              0, 1)
+        rt_re = jnp.sum(mre * pdt_re + mim * pdt_im, axis=1)
+        rt_im = jnp.sum(mre * pdt_im - mim * pdt_re, axis=1)
+
+        if col_mask is not None:
+            keep = jnp.asarray(col_mask)
+            kk = (keep[:, None] & keep[None, :])[None]
+            eye = jnp.eye(J, dtype=G_re.dtype)[None]
+            G_re = jnp.where(kk, G_re, eye)
+            G_im = jnp.where(kk, G_im, 0.0)
+            rhs_re = jnp.where(keep[None], rhs_re, 0.0)
+            rhs_im = jnp.where(keep[None], rhs_im, 0.0)
+
+        Cre, Cim = _regularised_solve(G_re, G_im, rhs_re, rhs_im)
+
+        num = jnp.sum(Cre * rt_re + Cim * rt_im, axis=-1)
+        GC_re = jnp.einsum("bjl,bl->bj", G2_re, Cre) \
+            - jnp.einsum("bjl,bl->bj", G2_im, Cim)
+        GC_im = jnp.einsum("bjl,bl->bj", G2_re, Cim) \
+            + jnp.einsum("bjl,bl->bj", G2_im, Cre)
+        model_norm = jnp.sum(Cre * GC_re + Cim * GC_im, axis=-1)
+        mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+        return Cre, Cim, mm
+
+    Cre, Cim, mm = jax.lax.map(
+        one_block,
+        (wrs.reshape(nb, block, J), wis.reshape(nb, block, J),
+         mres.reshape(nb, block, I, J), mims.reshape(nb, block, I, J)))
+    return (Cre.reshape(-1, J)[:Q], Cim.reshape(-1, J)[:Q],
+            mm.reshape(-1)[:Q])

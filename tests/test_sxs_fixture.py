@@ -125,3 +125,51 @@ def test_multimode_fit_through_loader(wf):
     # level (limited by the intrinsic detuned (3,2) mode).
     assert out["mismatch"] < 5e-3
     assert out["mismatch"] == pytest.approx(0.00110481, rel=1e-2)
+
+
+def test_dynamic_fit_with_fixture_tracks(wf):
+    """Dynamic-spectrum fit driven by the fixture's own Moft/chioft
+    tracks (the notebook route the air gap otherwise leaves untested):
+    M(t) from backward-integrated Edot, chi(t) from Jdot."""
+    from qnmfits_tpu import dynamic_ringdown_fit, ringdown_fit
+    wf.calculate_Moft()
+    wf.calculate_chioft()
+    # Clamp the junk early-inspiral samples into the table domain; the
+    # fit window only sees the ringdown tail where the tracks are
+    # physical (PARITY.md "Known deltas" documents array-chif samples
+    # outside the window being unvalidated).
+    chit = np.clip(wf.chioft_mag, 0.0, 0.99)
+    out = dynamic_ringdown_fit(
+        wf.times, wf.h[2, 2], [(2, 2, n, 1) for n in range(8)],
+        wf.Moft, chit, t0=10.0, T=80.0)
+    assert np.isfinite(out["mismatch"])
+    # Near the ringdown the tracks approach (Mf, chif), so the dynamic
+    # fit must land in the same quality band as the static one.
+    static = ringdown_fit(
+        wf.times, wf.h[2, 2], [(2, 2, n, 1) for n in range(8)],
+        wf.Mf, wf.chif_mag, t0=10.0, T=80.0)
+    assert out["mismatch"] < 10 * static["mismatch"] + 1e-6
+    # Regression pin (deterministic fixture + deterministic pipeline).
+    assert out["mismatch"] == pytest.approx(2.79778014e-06, rel=1e-3)
+
+
+def test_rational_filter_on_fixture(wf):
+    """Rational filter on the fixture strain: removing the (2,2,0)
+    fundamental + first overtone must suppress the post-peak ringdown
+    even though the data frequencies are BCW-detuned; jax and numpy
+    engines agree on real data."""
+    from qnmfits_tpu import rational_filter
+    modes = [(2, 2, 0, 1), (2, 2, 1, 1)]
+    tf, hf = rational_filter(wf.times, wf.h[2, 2], modes, wf.Mf,
+                             wf.chif_mag, t_start=-300.0)
+    sel_data = (wf.times > 20.0) & (wf.times < 60.0)
+    sel_filt = (tf > 20.0) & (tf < 60.0)
+    before = float(np.max(np.abs(wf.h[2, 2][sel_data])))
+    after = float(np.max(np.abs(hf[sel_filt])))
+    assert after < 0.05 * before          # strong post-peak suppression
+    tf2, hf2 = rational_filter(wf.times, wf.h[2, 2], modes, wf.Mf,
+                               wf.chif_mag, t_start=-300.0,
+                               engine="numpy")
+    np.testing.assert_allclose(hf, hf2, rtol=0, atol=1e-10)
+    # Regression pin on the suppression factor.
+    assert before / after == pytest.approx(72.7998, rel=1e-2)
