@@ -29,6 +29,7 @@ __all__ = [
     "batch_mismatch_t0", "batch_mismatch_t0_fast",
     "batch_mismatch_t0_sharded", "batch_mismatch_t0_dynamic",
     "batch_mismatch_t0_modesets",
+    "batch_mismatch_t0_modesets_dynamic",
     "batch_mismatch_M_chi", "batch_mismatch_M_chi_fast",
     "batch_mismatch_omega", "batch_mismatch_omega_fast", "sweep_t0_core",
     "sweep_t0_modesets",
@@ -559,10 +560,22 @@ def _t0_sweep_modesets_fn(chunk):
         lambda *a: sweep_t0_modesets_factored_real(*a, chunk=chunk))
 
 
+@lru_cache(maxsize=16)
+def _t0_sweep_modesets_complex_fn(t0_method, precision):
+    """Complex-typed mode-set sweep (CPU x64): the generic-window path
+    backing t0_method='closest' (the factored TPU kernel needs 'geq')."""
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    return jax.jit(lambda times, rows, omegas, mus, t0s, Ts, masks:
+                   sweep_t0_modesets(times, rows, omegas, mus, t0s, Ts,
+                                     col_masks=masks, t0_method=t0_method,
+                                     cdtype=cdtype))
+
+
 def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
                                T_array=100, spherical_modes=None,
                                return_amplitudes=False, chunk=256,
-                               mesh=None):
+                               mesh=None, t0_method="geq",
+                               precision="x64"):
     """The t0 x mode-set sweep: every (mode set, start time) pair in ONE
     jitted TPU program on the factored split-complex kernel (the
     single-chip benchmark surface; reference equivalent is a doubly
@@ -571,24 +584,30 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     mode_sets is a list of mode lists (each a list of (l, m, n, sign)
     tuples, possibly of different lengths -- they are padded to a common
     J with identity Gram rows, padded amplitudes exactly zero).
-    t0_array must be sorted ascending (t0_method='geq').
+    t0_method='geq' (default) runs the factored TPU kernel and needs
+    t0_array sorted ascending; t0_method='closest' runs the complex
+    x64 window sweep on CPU (reference window semantics,
+    qnmfits.py:1240-1255).
 
     chif and/or Mf may also be 1-D arrays (the REMNANT axis R,
     broadcast together): the per-spin spectra are stacked into the
     vmapped set axis, so a whole (mode set x remnant x t0) study runs
     as ONE jitted program instead of a Python loop over spins (the
     reference's triple-nested loop, qnmfits.py:1271-1299 x 1391-1410
-    x mode sets).
+    x mode sets).  For TIME-DEPENDENT (Mf(t), chif(t)) tracks use
+    batch_mismatch_t0_modesets_dynamic.
 
     Returns mm (S, B) for scalar remnant, (S, R, B) with a remnant
     axis; with return_amplitudes=True also a list of S complex
     (B, len(mode_sets[s])) (or (R, B, len)) amplitude arrays.  Pass
     ``mesh`` (or mesh='auto') to shard the start-time axis over a
-    device mesh.
+    device mesh (t0_method='geq' only).
     """
+    if t0_method not in ("geq", "closest"):
+        raise ValueError("t0_method must be 'geq' or 'closest'")
     times, rows, sph = _prep(times, data, spherical_modes)
     t0s = np.asarray(t0_array, float)
-    if np.any(np.diff(t0s) < 0):
+    if t0_method == "geq" and np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
@@ -622,19 +641,30 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         mus = mus.reshape((R * S,) + mus.shape[-2:])
     masks_run = masks if scalar_remnant else np.tile(masks, (R, 1))
 
-    chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))), chunk)
-    args = (times, rows.real.copy(), rows.imag.copy(),
-            omegas.real.copy(), omegas.imag.copy(),
-            mus.real.copy(), mus.imag.copy(), t0s, Ts, masks_run)
-    if mesh is not None:
-        from .parallel.mesh import (sharded_t0_sweep_modesets_factored,
-                                    sweep_mesh)
-        if mesh == "auto":
-            mesh = sweep_mesh(n_time=1)
-        Cre, Cim, mm = sharded_t0_sweep_modesets_factored(
-            *args, mesh=mesh, chunk=chunk)
+    if t0_method == "closest":
+        if mesh is not None:
+            raise ValueError("mesh sharding of the mode-set sweep needs "
+                             "t0_method='geq'")
+        fn_c = _t0_sweep_modesets_complex_fn(t0_method, precision)
+        dev = _device_for(precision)
+        C, mm = fn_c(*[jax.device_put(np.asarray(a), dev) for a in
+                       (times, rows, omegas, mus, t0s, Ts, masks_run)])
+        Cre, Cim = np.asarray(C).real, np.asarray(C).imag
     else:
-        Cre, Cim, mm = _t0_sweep_modesets_fn(chunk)(*args)
+        chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))),
+                            chunk)
+        args = (times, rows.real.copy(), rows.imag.copy(),
+                omegas.real.copy(), omegas.imag.copy(),
+                mus.real.copy(), mus.imag.copy(), t0s, Ts, masks_run)
+        if mesh is not None:
+            from .parallel.mesh import (
+                sharded_t0_sweep_modesets_factored, sweep_mesh)
+            if mesh == "auto":
+                mesh = sweep_mesh(n_time=1)
+            Cre, Cim, mm = sharded_t0_sweep_modesets_factored(
+                *args, mesh=mesh, chunk=chunk)
+        else:
+            Cre, Cim, mm = _t0_sweep_modesets_fn(chunk)(*args)
     mm = np.asarray(mm)
     if scalar_remnant:
         if not return_amplitudes:
@@ -674,3 +704,87 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm
+
+
+@lru_cache(maxsize=16)
+def _t0_sweep_modesets_dynamic_fn(t0_method, precision):
+    """Jitted (set x window) sweep with time-dependent spectra: lax.map
+    over padded sets around the dynamic fit core."""
+    from .engine import dynamic_fit_core
+
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def run(times, rows, omegas_t, mus_t, t0s, Ts, masks):
+        def per_set(args):
+            omega_t, mu_t, mask = args      # (K, J), (I, K, J), (J,)
+
+            def one(targs):
+                t0, T = targs
+                w = window(times, t0, T)
+                return dynamic_fit_core(times, rows, omega_t, mu_t, t0,
+                                        w, cdtype, col_mask=mask)
+
+            return jax.lax.map(one, (t0s, Ts), batch_size=16)
+
+        return jax.lax.map(per_set, (omegas_t, mus_t, masks),
+                           batch_size=1)
+
+    return jax.jit(run)
+
+
+def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
+                                       t0_array, t0_method="geq",
+                                       T_array=100, spherical_modes=None,
+                                       return_amplitudes=False,
+                                       precision="x64"):
+    """Mode-set t0 sweep with a TIME-DEPENDENT spectrum (Mf(t), chif(t)
+    tracks of length K): every (mode set, start time) dynamic fit in one
+    jitted program (previously only per-set batch_mismatch_t0_dynamic
+    loops covered this; reference loop qnmfits.py:1286-1299 x sets).
+
+    Mf/chif: scalars or (K,) arrays (time tracks -- NOT a remnant axis;
+    that is batch_mismatch_t0_modesets).  Returns mm (S, B); with
+    return_amplitudes=True also a list of S (B, len(set)) arrays.
+    """
+    from .engine import check_spin
+    check_spin(chif)
+    times, rows, sph = _prep(times, data, spherical_modes)
+    K = len(times)
+    Mf_t = np.full(K, Mf) if np.ndim(Mf) == 0 else np.asarray(Mf, float)
+    chif_t = np.full(K, chif) if np.ndim(chif) == 0 \
+        else np.asarray(chif, float)
+    if Mf_t.shape != (K,) or chif_t.shape != (K,):
+        raise ValueError("dynamic Mf/chif must be scalars or (K,) tracks")
+    t0s = np.asarray(t0_array, float)
+    Ts = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+
+    sets = [list(_canon(ms)) for ms in mode_sets]
+    S = len(sets)
+    J = max(len(ms) for ms in sets)
+    I = rows.shape[0]
+    omegas_t = np.zeros((S, K, J), complex)
+    mus_t = np.zeros((S, I, K, J), complex)
+    masks = np.zeros((S, J), bool)
+    with _on_host():
+        for si, ms in enumerate(sets):
+            ev = SpectrumEvaluator(ms, list(sph) if sph else None)
+            omegas_t[si, :, :len(ms)] = np.asarray(
+                ev.omega(chif_t, Mf_t)).T
+            if sph is None:
+                mus_t[si, :, :, :len(ms)] = 1.0
+            else:
+                mus_t[si, :, :, :len(ms)] = np.moveaxis(
+                    np.asarray(ev.mu(chif_t)), -1, 1)
+            masks[si, :len(ms)] = True
+
+    fn = _t0_sweep_modesets_dynamic_fn(t0_method, precision)
+    dev = _device_for(precision)
+    C, mm = fn(*[jax.device_put(np.asarray(a), dev) for a in
+                 (times, rows, omegas_t, mus_t, t0s, Ts, masks)])
+    mm = np.asarray(mm)
+    if not return_amplitudes:
+        return mm
+    C = np.asarray(C)
+    return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]

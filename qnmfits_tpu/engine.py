@@ -239,12 +239,16 @@ def fit_core(times, data, omega, mu, t0, w, cdtype=jnp.complex128,
 
 
 def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
-                     cdtype=jnp.complex128):
+                     cdtype=jnp.complex128, col_mask=None):
     """Fit with a time-dependent Kerr spectrum.
 
     omega_t: (K, J); mu_t: (I, K, J) (ones for single-series).  Design
     entries a^i_{kj} = mu^i_{kj} exp(-i omega_{kj} (t_k - t0)) (reference
     qnmfits.py:438-444, 863-864).
+
+    col_mask: optional (J,) bool marking real (True) vs padding (False)
+    mode slots (identity Gram rows, exactly-zero amplitudes), so
+    different-sized mode sets can share one batched dynamic solve.
     """
     rdtype = jnp.zeros((), cdtype).real.dtype
     times = times.astype(rdtype)
@@ -260,6 +264,11 @@ def dynamic_fit_core(times, data, omega_t, mu_t, t0, w,
     Ew = E * w[None, :, None]
     G = jnp.einsum("ikj,ikl->jl", Ew.conj(), Ew)
     rhs = jnp.einsum("ikj,ik->j", Ew.conj(), data * w[None, :])
+    if col_mask is not None:
+        keep = jnp.asarray(col_mask)
+        eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+        G = jnp.where(keep[:, None] & keep[None, :], G, eye)
+        rhs = jnp.where(keep, rhs, 0.0)
     C = gram_cholesky(G, rhs)
 
     Et = E * tau[None, :, None]

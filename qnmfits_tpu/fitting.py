@@ -301,8 +301,9 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
 
 
 def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
-                          T_array=100, spherical_modes=None,
-                          return_amplitudes=False, mesh=None):
+                          t0_method="geq", T_array=100,
+                          spherical_modes=None, return_amplitudes=False,
+                          mesh=None, dynamic=False):
     """Mismatch vs start time for MANY mode sets in one TPU program.
 
     The workload the reference runs as a doubly nested Python loop
@@ -313,19 +314,33 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
     per v5e chip, see PERF.md).
 
     mode_sets: list of mode lists (ragged lengths fine -- padded with
-    exact-zero amplitude slots).  t0_array sorted ascending
-    (t0_method='geq').  chif and/or Mf may be 1-D arrays (a remnant
-    axis R): the per-spin spectra fold into the vmapped set axis and
-    the whole (set x remnant x t0) study is one program.  Returns mm
-    (S, B), or (S, R, B) with a remnant axis; with
+    exact-zero amplitude slots).  t0_method='geq' (default; t0_array
+    sorted ascending, factored TPU kernel) or 'closest' (complex x64
+    window sweep).  chif and/or Mf may be 1-D arrays (a remnant axis
+    R): the per-spin spectra fold into the vmapped set axis and the
+    whole (set x remnant x t0) study is one program.  With
+    dynamic=True, Mf/chif are instead (K,) TIME tracks and every
+    (set, t0) pair is a dynamic-spectrum fit in one program.  Returns
+    mm (S, B), or (S, R, B) with a remnant axis; with
     return_amplitudes=True also a list of per-set complex
     (B, len(mode_set)) (or (R, B, len)) amplitude arrays.  Pass
-    mesh='auto' (or an explicit Mesh) to shard over devices.
+    mesh='auto' (or an explicit Mesh) to shard over devices
+    (t0_method='geq', static spectrum).
     """
+    if dynamic:
+        if mesh is not None:
+            raise ValueError("mesh sharding of the dynamic mode-set "
+                             "sweep is not supported")
+        from .batched import batch_mismatch_t0_modesets_dynamic
+        return batch_mismatch_t0_modesets_dynamic(
+            times, data, mode_sets, Mf, chif, t0_array,
+            t0_method=t0_method, T_array=T_array,
+            spherical_modes=spherical_modes,
+            return_amplitudes=return_amplitudes)
     from .batched import batch_mismatch_t0_modesets
     return batch_mismatch_t0_modesets(
-        times, data, mode_sets, Mf, chif, t0_array, T_array=T_array,
-        spherical_modes=spherical_modes,
+        times, data, mode_sets, Mf, chif, t0_array, t0_method=t0_method,
+        T_array=T_array, spherical_modes=spherical_modes,
         return_amplitudes=return_amplitudes, mesh=mesh)
 
 

@@ -286,6 +286,52 @@ class TestModesetSweep:
                 syn_mm["Mf"], np.array([0.5, 1.2]),
                 np.linspace(0.0, 5.0, 3))
 
+
+    def test_closest_method_matches_per_set_loop(self, syn_mm):
+        """t0_method='closest' mode-set sweep == per-set reference loop
+        (closes VERDICT r2 weak 7: the set axis previously existed for
+        'geq' only)."""
+        mode_sets = [[(2, 2, n, 1) for n in range(nmax)]
+                     for nmax in (1, 3)]
+        t0s = np.linspace(0.3, 12.0, 5)
+        mm = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"],
+            t0_method="closest")
+        for si, ms in enumerate(mode_sets):
+            mm_l = ref_impl.mismatch_t0_array(
+                syn_mm["times"], syn_mm["data_dict"], ms,
+                syn_mm["Mf"], syn_mm["chif"], t0s, t0_method="closest",
+                T_array=80.0,
+                spherical_modes=syn_mm["spherical_modes"])
+            np.testing.assert_allclose(mm[si], mm_l, rtol=0, atol=1e-11)
+
+    def test_dynamic_modesets_matches_per_set(self, syn_mm):
+        """dynamic=True mode-set sweep (time-dependent Mf(t)/chif(t))
+        == per-set batch_mismatch_t0_dynamic."""
+        from qnmfits_tpu import fitting
+        K = len(syn_mm["times"])
+        Mf_t = np.linspace(1.02 * syn_mm["Mf"], syn_mm["Mf"], K)
+        chif_t = np.linspace(0.6, syn_mm["chif"], K)
+        mode_sets = [[(2, 2, n, 1) for n in range(nmax)]
+                     for nmax in (1, 3)]
+        t0s = np.linspace(0.0, 10.0, 4)
+        mm, Cs = fitting.mismatch_t0_mode_sets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets, Mf_t,
+            chif_t, t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"], dynamic=True,
+            return_amplitudes=True)
+        assert mm.shape == (2, 4)
+        for si, ms in enumerate(mode_sets):
+            mm_l, C_l = batched.batch_mismatch_t0_dynamic(
+                syn_mm["times"], syn_mm["data_dict"], ms, Mf_t, chif_t,
+                t0s, T_array=80.0,
+                spherical_modes=syn_mm["spherical_modes"],
+                return_amplitudes=True)
+            np.testing.assert_allclose(mm[si], mm_l, rtol=0, atol=1e-11)
+            np.testing.assert_allclose(Cs[si], C_l, rtol=0, atol=1e-9)
+
     def test_unsorted_t0_raises(self, syn_mm):
         with pytest.raises(ValueError, match="sorted"):
             batched.batch_mismatch_t0_modesets(
