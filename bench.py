@@ -80,7 +80,11 @@ def _build_problem_impl(SpectrumEvaluator, synthetic_multimode):
         masks[si, :len(ms)] = True
 
     data = np.stack([syn["data_dict"][lm] for lm in spherical_modes])
-    t0s = np.linspace(-5.0, 46.2, 2048)
+    # B=8192 amortizes the tunnel dispatch floor into the noise: measured
+    # 277k fits/s at B=2048 vs 352k at B=8192, flat by B=16384 (chunk
+    # stays 512 -- the (Bc, K) window matmul's sweet spot; 1024/2048
+    # measured slower, PERF.md section 11).
+    t0s = np.linspace(-5.0, 46.2, 8192)
     Ts = np.full_like(t0s, 100.0)
     return (times, data.astype(complex), omegas.astype(complex),
             mus.astype(complex), masks, t0s, Ts, syn)
@@ -135,16 +139,21 @@ def main():
     elapsed = min(reps)
     fits_per_sec = n_fits / elapsed
 
-    # Accuracy spot check against the NumPy lstsq reference (the full
-    # 1e-10 x64 parity gate is exercised in tests/test_batched.py).
+    # Accuracy spot check against the NumPy lstsq reference at t0=2.5
+    # (in-ringdown; the full 1e-10 x64 parity gate is exercised in
+    # tests/test_batched.py).  Pre-ringdown windows (t0 < 0, mm ~ 6e-2)
+    # sit at their own conditioning floor (~1e-5 relative on any
+    # engine) and are not a kernel-precision probe.
     from qnmfits_tpu import ref_impl
+    i_spot = int(round((2.5 - t0s[0]) / (t0s[-1] - t0s[0])
+                       * (len(t0s) - 1)))
     ref = ref_impl.multimode_ringdown_fit(
         np.asarray(times, float),
         {(2, 2): data[0].astype(complex), (3, 2): data[1].astype(complex)},
         [(2, 2, n, 1) for n in range(8)], 0.952, 0.692,
-        t0=float(t0s[300]), T=100.0,
+        t0=float(t0s[i_spot]), T=100.0,
         spherical_modes=[(2, 2), (3, 2)])
-    dev_tpu = abs(float(mm_np[7, 300]) - ref["mismatch"])
+    dev_tpu = abs(float(mm_np[7, i_spot]) - ref["mismatch"])
 
     print(json.dumps({
         "metric": "multimode_fits_per_sec",
