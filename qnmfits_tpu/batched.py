@@ -706,6 +706,36 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
     return mm
 
 
+@lru_cache(maxsize=32)
+def _modesets_spectrum_dynamic_fn(sets_key, sph):
+    """One jitted CPU program evaluating the padded TIME-TRACK spectra
+    (omega(t), mu(t)) of a whole mode-set list -- the dynamic analogue
+    of _modesets_spectrum_fn (same rationale: re-building evaluators
+    and eagerly dispatching per-set spline gathers per call dominated
+    repeat sweeps)."""
+    evs = [SpectrumEvaluator(list(ms), list(sph) if sph else None)
+           for ms in sets_key]
+    J = max(len(ms) for ms in sets_key)
+    masks = np.zeros((len(sets_key), J), bool)
+    for si, ms in enumerate(sets_key):
+        masks[si, :len(ms)] = True
+
+    def eval_all(chif_t, Mf_t):
+        ws, mus_ = [], []
+        for ev, ms in zip(evs, sets_key):
+            w = ev.omega(chif_t, Mf_t).T                  # (K, J_s)
+            ws.append(jnp.pad(w, ((0, 0), (0, J - w.shape[1]))))
+            if sph is None:
+                mu = jnp.ones((1,) + w.shape, w.dtype)
+            else:
+                mu = jnp.moveaxis(ev.mu(chif_t), -1, 1)   # (I, K, J_s)
+            mus_.append(jnp.pad(
+                mu, ((0, 0), (0, 0), (0, J - w.shape[1]))))
+        return jnp.stack(ws), jnp.stack(mus_)
+
+    return jax.jit(eval_all), masks
+
+
 @lru_cache(maxsize=16)
 def _t0_sweep_modesets_dynamic_fn(t0_method, precision):
     """Jitted (set x window) sweep with time-dependent spectra: lax.map
@@ -747,6 +777,8 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
     that is batch_mismatch_t0_modesets).  Returns mm (S, B); with
     return_amplitudes=True also a list of S (B, len(set)) arrays.
     """
+    if t0_method not in ("geq", "closest"):
+        raise ValueError("t0_method must be 'geq' or 'closest'")
     from .engine import check_spin
     check_spin(chif)
     times, rows, sph = _prep(times, data, spherical_modes)
@@ -761,23 +793,12 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
 
     sets = [list(_canon(ms)) for ms in mode_sets]
-    S = len(sets)
-    J = max(len(ms) for ms in sets)
-    I = rows.shape[0]
-    omegas_t = np.zeros((S, K, J), complex)
-    mus_t = np.zeros((S, I, K, J), complex)
-    masks = np.zeros((S, J), bool)
+    sets_key = tuple(tuple(ms) for ms in sets)
+    sfn, masks = _modesets_spectrum_dynamic_fn(sets_key, sph)
     with _on_host():
-        for si, ms in enumerate(sets):
-            ev = SpectrumEvaluator(ms, list(sph) if sph else None)
-            omegas_t[si, :, :len(ms)] = np.asarray(
-                ev.omega(chif_t, Mf_t)).T
-            if sph is None:
-                mus_t[si, :, :, :len(ms)] = 1.0
-            else:
-                mus_t[si, :, :, :len(ms)] = np.moveaxis(
-                    np.asarray(ev.mu(chif_t)), -1, 1)
-            masks[si, :len(ms)] = True
+        omegas_j, mus_j = sfn(chif_t, Mf_t)
+        omegas_t = np.asarray(omegas_j)
+        mus_t = np.asarray(mus_j)
 
     fn = _t0_sweep_modesets_dynamic_fn(t0_method, precision)
     dev = _device_for(precision)

@@ -210,8 +210,14 @@ def _free_freq_sweep_fn(modes, t0_method, maxiter):
         w = _window(times, t0, T, t0_method)
 
         def mm_fn(x):
+            # Same box as the scipy path's L-BFGS-B bounds
+            # (re in [0, 2], im in [-1, 0]): the clip keeps an accepted
+            # Newton step from wandering into growing-mode territory
+            # where the two paths would silently diverge.
+            re = jnp.clip(x[0], 0.0, 2.0)
+            im = jnp.clip(x[1], -1.0, 0.0)
             omega = jnp.concatenate(
-                [fixed, (x[0] + 1j * x[1])[None].astype(jnp.complex128)])
+                [fixed, (re + 1j * im)[None].astype(jnp.complex128)])
             mu = jnp.ones((1, omega.shape[0]))
             _, mm = fit_core(times, data, omega, mu, t0, w,
                              jnp.complex128)
@@ -221,9 +227,12 @@ def _free_freq_sweep_fn(modes, t0_method, maxiter):
         vals = jax.vmap(mm_fn)(cand)
         k = jnp.nanargmin(vals)
         x, fx = _newton_polish(mm_fn, cand[k], vals[k], iters=maxiter)
-        # Converged when the Newton stage actually improved on its seed
-        # (a stuck polish leaves fx == vals[k]).
-        return x, fx, fx <= vals[k]
+        x = jnp.stack([jnp.clip(x[0], 0.0, 2.0),
+                       jnp.clip(x[1], -1.0, 0.0)])
+        # Converged = first-order stationary at the final point (a
+        # stalled polish on a shelf leaves a large gradient).
+        ok = jnp.linalg.norm(jax.grad(mm_fn)(x)) < 1e-7
+        return x, fx, ok
 
     def run(times, data, Mf, chif, t0s, Ts, x0):
         fixed = ev.omega(chif, Mf) if ev is not None \
@@ -306,7 +315,9 @@ def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
         x, fx = _newton_polish(mm_fn, cand[k], vals[k], iters=maxiter)
         x = x.at[0].set(jnp.clip(x[0], 1e-3, 2.0))
         x = x.at[1].set(jnp.clip(x[1], 0.0, 0.99))
-        return x, fx, fx <= vals[k]
+        # Converged = first-order stationary at the final point.
+        ok = jnp.linalg.norm(jax.grad(mm_fn)(x)) < 1e-7
+        return x, fx, ok
 
     def run(times, data, t0s, Ts, delta_factor, x0):
         return jax.vmap(one, in_axes=(None, None, 0, 0, None, None))(

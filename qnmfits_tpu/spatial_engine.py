@@ -46,10 +46,11 @@ def _tables_for(s: int):
 
 
 def _kappa_np(i, j, d, h, b, f, s1, s2):
-    return (np.sqrt((2 * d + 1) * (2 * h + 1) * (2 * i + 1) / (4 * np.pi))
-            * wigner_3j(d, h, i, -s1, -s2, s1 + s2)
-            * wigner_3j(d, h, i, b, f, -j)
-            * (-1.0) ** (j + s1 + s2))
+    # Single source of truth: spatial.kappa (covered by the
+    # sphere-integral test).  Lazy import -- spatial imports this
+    # module at load time, but kappa is only needed at compile time.
+    from .spatial import kappa
+    return kappa(i, j, d, h, b, f, s1, s2)
 
 
 class _FactorGather:
@@ -143,6 +144,10 @@ class QmuCompiled:
         if self.N == 0:
             return np.zeros((0,), complex) if np.ndim(chif) == 0 \
                 else np.zeros((0, len(np.atleast_1d(chif))), complex)
+        # Same off-grid-spin rejection as the mu_np path the loop oracle
+        # went through: cubic extrapolation past the table edge is
+        # silently unphysical.
+        self.f1.tables._check_chif(chif)
         mu1 = self.f1.eval(chif)
         mu2 = self.f2.eval(chif)
         if mu1.ndim == 3:

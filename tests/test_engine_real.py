@@ -187,3 +187,40 @@ def test_suffix_sweep_deep_ladder():
     _, _, mm2 = sweep_t0_suffix_real(*args, chunk=8)
     np.testing.assert_allclose(np.asarray(mm2), np.asarray(mm1),
                                rtol=0, atol=1e-10)
+
+
+def test_blocked_spectra_sweep_matches_per_item():
+    """sweep_spectra_blocked_real (the recorded-negative blocked-Gram
+    variant, PERF.md section 10) == the per-item grid kernel, including
+    a non-divisible Q (padding slice) and a col_mask."""
+    import jax
+    from qnmfits_tpu.engine_real import (sweep_spectra_blocked_real,
+                                         sweep_spectra_real)
+
+    rng = np.random.default_rng(0)
+    K, Q, J, I = 801, 37, 6, 2              # Q not a multiple of block
+    times = np.linspace(0.0, 80.0, K)
+    omega = (0.4 + 0.4 * rng.random((Q, J))) \
+        - 1j * (0.05 + 0.4 * rng.random((Q, J)))
+    mu = rng.standard_normal((Q, I, J)) + 1j * rng.standard_normal(
+        (Q, I, J))
+    data = rng.standard_normal((I, K)) + 1j * rng.standard_normal((I, K))
+    w = ((times >= 5.0) & (times < 65.0)).astype(float)
+    args = (times, data.real.copy(), data.imag.copy(),
+            omega.real.copy(), omega.imag.copy(),
+            mu.real.copy(), mu.imag.copy(), 5.0, w)
+    for mask in (None, np.array([True] * (J - 2) + [False, False])):
+        C1r, C1i, mm1 = jax.jit(
+            lambda *a: sweep_spectra_real(*a, col_mask=mask,
+                                          chunk=16))(*args)
+        C2r, C2i, mm2 = jax.jit(
+            lambda *a: sweep_spectra_blocked_real(*a, col_mask=mask,
+                                                  block=16))(*args)
+        np.testing.assert_allclose(np.asarray(mm2), np.asarray(mm1),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(C2r), np.asarray(C1r),
+                                   rtol=0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(C2i), np.asarray(C1i),
+                                   rtol=0, atol=1e-8)
+        if mask is not None:
+            assert np.all(np.asarray(C2r)[:, J - 2:] == 0.0)
