@@ -575,7 +575,7 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
                                T_array=100, spherical_modes=None,
                                return_amplitudes=False, chunk=256,
                                mesh=None, t0_method="geq",
-                               precision="x64"):
+                               precision="x64", bucket=False):
     """The t0 x mode-set sweep: every (mode set, start time) pair in ONE
     jitted TPU program on the factored split-complex kernel (the
     single-chip benchmark surface; reference equivalent is a doubly
@@ -601,7 +601,12 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     axis; with return_amplitudes=True also a list of S complex
     (B, len(mode_sets[s])) (or (R, B, len)) amplitude arrays.  Pass
     ``mesh`` (or mesh='auto') to shard the start-time axis over a
-    device mesh (t0_method='geq' only).
+    device mesh (t0_method='geq' only).  bucket=True groups sets by
+    padded width (powers of two) and runs one kernel per width,
+    halving the padded-Gram FLOPs for wide-ranging ladder studies --
+    measured NEUTRAL on the tunneled v5e (the sweep is not FLOP-bound
+    at these shapes and each width class pays its own one-time program
+    load; PERF.md section 12), so it stays opt-in.
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
@@ -645,26 +650,64 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         if mesh is not None:
             raise ValueError("mesh sharding of the mode-set sweep needs "
                              "t0_method='geq'")
+        if bucket:
+            raise ValueError("bucket=True requires t0_method='geq' (the "
+                             "width-bucketed factored kernel)")
         fn_c = _t0_sweep_modesets_complex_fn(t0_method, precision)
         dev = _device_for(precision)
         C, mm = fn_c(*[jax.device_put(np.asarray(a), dev) for a in
                        (times, rows, omegas, mus, t0s, Ts, masks_run)])
         Cre, Cim = np.asarray(C).real, np.asarray(C).imag
     else:
-        chunk = _safe_chunk(t0s, float(np.max(np.abs(omegas.imag))),
-                            chunk)
-        args = (times, rows.real.copy(), rows.imag.copy(),
-                omegas.real.copy(), omegas.imag.copy(),
-                mus.real.copy(), mus.imag.copy(), t0s, Ts, masks_run)
         if mesh is not None:
-            from .parallel.mesh import (
-                sharded_t0_sweep_modesets_factored, sweep_mesh)
+            from .parallel.mesh import sweep_mesh
             if mesh == "auto":
                 mesh = sweep_mesh(n_time=1)
-            Cre, Cim, mm = sharded_t0_sweep_modesets_factored(
-                *args, mesh=mesh, chunk=chunk)
+
+        def run_group(o, m, mk):
+            ck = _safe_chunk(t0s, float(np.max(np.abs(o.imag))), chunk)
+            a = (times, rows.real.copy(), rows.imag.copy(),
+                 o.real.copy(), o.imag.copy(),
+                 m.real.copy(), m.imag.copy(), t0s, Ts, mk)
+            if mesh is not None:
+                from .parallel.mesh import (
+                    sharded_t0_sweep_modesets_factored)
+                return sharded_t0_sweep_modesets_factored(
+                    *a, mesh=mesh, chunk=ck)
+            return _t0_sweep_modesets_fn(ck)(*a)
+
+        if bucket:
+            # Group rows by padded width: the factored Gram matmul is
+            # O(J^2) per fit, so padding a 1-mode ladder to the deepest
+            # set's J wastes up to (J/len)^2.  Buckets (powers of two
+            # capped at J) re-pad each group to its own width; shallow
+            # buckets also get LARGER overflow-safe chunks (their
+            # |Im w| is smaller).  NOTE: measured neutral on the
+            # tunneled v5e (PERF.md section 12) -- kept for
+            # FLOP-bound deployments, opt-in.
+            Sf = omegas.shape[0]
+            J = omegas.shape[1]
+            lens = np.array([len(sets[i % S]) for i in range(Sf)])
+            def _width(n):
+                b = 4
+                while b < n:
+                    b *= 2
+                return min(b, J)
+            widths = np.array([_width(n) for n in lens])
+            mm = np.empty((Sf, len(t0s)))
+            Cre = np.zeros((Sf, len(t0s), J))
+            Cim = np.zeros((Sf, len(t0s), J))
+            for bw in sorted(set(widths)):
+                idx = np.where(widths == bw)[0]
+                Cre_b, Cim_b, mm_b = run_group(
+                    np.ascontiguousarray(omegas[idx][:, :bw]),
+                    np.ascontiguousarray(mus[idx][:, :, :bw]),
+                    np.ascontiguousarray(masks_run[idx][:, :bw]))
+                mm[idx] = np.asarray(mm_b)
+                Cre[idx, :, :bw] = np.asarray(Cre_b)
+                Cim[idx, :, :bw] = np.asarray(Cim_b)
         else:
-            Cre, Cim, mm = _t0_sweep_modesets_fn(chunk)(*args)
+            Cre, Cim, mm = run_group(omegas, mus, masks_run)
     mm = np.asarray(mm)
     if scalar_remnant:
         if not return_amplitudes:

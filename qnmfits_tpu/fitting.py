@@ -303,7 +303,7 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
 def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
                           t0_method="geq", T_array=100,
                           spherical_modes=None, return_amplitudes=False,
-                          mesh=None, dynamic=False):
+                          mesh=None, dynamic=False, bucket=False):
     """Mismatch vs start time for MANY mode sets in one TPU program.
 
     The workload the reference runs as a doubly nested Python loop
@@ -341,7 +341,7 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
     return batch_mismatch_t0_modesets(
         times, data, mode_sets, Mf, chif, t0_array, t0_method=t0_method,
         T_array=T_array, spherical_modes=spherical_modes,
-        return_amplitudes=return_amplitudes, mesh=mesh)
+        return_amplitudes=return_amplitudes, mesh=mesh, bucket=bucket)
 
 
 def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,

@@ -332,6 +332,47 @@ class TestModesetSweep:
             np.testing.assert_allclose(mm[si], mm_l, rtol=0, atol=1e-11)
             np.testing.assert_allclose(Cs[si], C_l, rtol=0, atol=1e-9)
 
+
+    def test_bucketed_matches_flat(self, syn_mm):
+        """bucket=True (per-width kernels) == the flat padded sweep,
+        including the remnant axis and trimmed amplitudes."""
+        mode_sets = [[(2, 2, n, 1) for n in range(nmax)]
+                     for nmax in (1, 2, 3, 4)]
+        t0s = np.linspace(0.0, 12.0, 5)
+        kw = dict(T_array=80.0, spherical_modes=syn_mm["spherical_modes"],
+                  return_amplitudes=True)
+        mm0, C0 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, **kw)
+        mm1, C1 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, bucket=True, **kw)
+        np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-12)
+        for a, b in zip(C0, C1):
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-9)
+        chifs = np.array([0.6, syn_mm["chif"]])
+        mm2 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], chifs, t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"])
+        mm3 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], chifs, t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"], bucket=True)
+        np.testing.assert_allclose(mm3, mm2, rtol=0, atol=1e-12)
+
+
+    def test_dynamic_modesets_bad_t0_method_raises(self, syn_mm):
+        """Regression: a t0_method typo on the dynamic mode-set sweep
+        must raise, not silently run 'closest' windows."""
+        K = len(syn_mm["times"])
+        chif_t = np.linspace(0.6, syn_mm["chif"], K)
+        with pytest.raises(ValueError, match="t0_method"):
+            batched.batch_mismatch_t0_modesets_dynamic(
+                syn_mm["times"], syn_mm["data_dict"],
+                [syn_mm["modes"]], syn_mm["Mf"], chif_t,
+                np.linspace(0.0, 5.0, 3), t0_method="GEQ")
+
     def test_unsorted_t0_raises(self, syn_mm):
         with pytest.raises(ValueError, match="sorted"):
             batched.batch_mismatch_t0_modesets(
