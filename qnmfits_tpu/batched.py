@@ -14,7 +14,7 @@ identity rows in the Gram matrix (padded amplitudes are exactly zero).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 

@@ -11,8 +11,6 @@ reference spatial_mapping_functions.py:787-799).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from .spectrum.tables import DATA_DIR, SpectrumTables, default_tables

@@ -31,7 +31,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .harmonics import sYlm, wigner_3j
+from .harmonics import sYlm
 from .spectrum.tables import eval_spline_np
 
 __all__ = [

@@ -28,7 +28,6 @@ from pathlib import Path
 
 import numpy as np
 
-from .angular import lmin
 from .solver import default_chi_grid, schwarzschild_seeds, track_mode
 
 DATA_DIR = Path(__file__).parent.parent / "data"
