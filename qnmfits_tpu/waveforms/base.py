@@ -157,9 +157,16 @@ class BaseWaveform:
 
     def rotate_modes_over_time(self):
         """Rotate to the frame with z parallel to the instantaneous spin
-        (reference Base.py:225-263)."""
-        chin = self.chioft / self.chioft_mag[:, None]
-        theta_t = np.arccos(chin[:, 2])
+        (reference Base.py:225-263).
+
+        Samples with (numerically) zero spin magnitude get the identity
+        rotation instead of the reference's 0/0 NaN (same guard family
+        as rotate_modes' aligned-spin fix)."""
+        mag = self.chioft_mag[:, None]
+        safe = np.where(mag > 1e-14, mag, 1.0)
+        chin = np.where(mag > 1e-14, self.chioft / safe,
+                        np.array([0.0, 0.0, 1.0]))
+        theta_t = np.arccos(np.clip(chin[:, 2], -1.0, 1.0))
         phi_t = np.arctan2(chin[:, 1], chin[:, 0])
         q_t = quat_from_spherical(theta_t, phi_t)   # (K, 4)
         self.h = rotate_mode_dict(self.h, q_t, self.ellMax)

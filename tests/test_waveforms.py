@@ -236,3 +236,27 @@ class TestSurrogatesMocked:
             wf.times, wf.h[2, 2], [(2, 2, 0, 1)], wf.Mf, wf.chif_mag,
             t0=10.0)
         assert r["mismatch"] < 1e-10    # data IS a (2,2,0) ringdown
+
+
+def test_rotate_modes_over_time_zero_spin_samples():
+    """A chioft track with zero-magnitude samples (junk early inspiral)
+    must produce identity rotations there, not 0/0 NaNs (same guard
+    family as the aligned-spin rotate_modes fix)."""
+    from qnmfits_tpu.waveforms.custom import Custom
+
+    times = np.linspace(-10.0, 50.0, 301)
+    h = {(l, m): np.exp(-1j * 0.5 * times) * np.exp(-0.05 * times)
+         for l in (2,) for m in range(-2, 3)}
+    md = {"remnant_mass": 0.95,
+          "remnant_dimensionless_spin": [0.0, 0.0, 0.7]}
+    wf = Custom(times, h, md, zero_time=0.0)
+    K = len(wf.times)
+    wf.chioft = np.zeros((K, 3))
+    wf.chioft[K // 2:] = [0.05, 0.0, 0.69]       # spin "turns on"
+    wf.chioft_mag = np.linalg.norm(wf.chioft, axis=1)
+    wf.rotate_modes_over_time()
+    for m in range(-2, 3):
+        assert np.all(np.isfinite(wf.h[2, m]))
+    # Zero-spin samples: identity rotation, h unchanged there.
+    np.testing.assert_allclose(wf.h[2, 2][: K // 2],
+                               h[2, 2][: K // 2], atol=1e-12)
