@@ -78,6 +78,7 @@ from .fitting import (  # noqa: E402
     ringdown,
     ringdown_fit,
 )
+from .batched import batch_fit_events as fit_events  # noqa: E402
 from .optimize import (  # noqa: E402
     calculate_epsilon_array,
     free_frequency_fit_array,
@@ -91,7 +92,7 @@ from .plotting import (  # noqa: E402
 )
 from .qnm_api import download_cook_data  # noqa: E402
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 _lazy_singletons = {}
 

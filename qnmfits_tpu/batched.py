@@ -30,6 +30,7 @@ __all__ = [
     "batch_mismatch_t0_sharded", "batch_mismatch_t0_dynamic",
     "batch_mismatch_t0_modesets",
     "batch_mismatch_t0_modesets_dynamic",
+    "batch_fit_events",
     "batch_mismatch_M_chi", "batch_mismatch_M_chi_fast",
     "batch_mismatch_omega", "batch_mismatch_omega_fast", "sweep_t0_core",
     "sweep_t0_modesets",
@@ -852,3 +853,72 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
         return mm
     C = np.asarray(C)
     return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]
+
+
+@lru_cache(maxsize=64)
+def _event_batch_fn(modes, t0_method, precision):
+    """Jitted per-EVENT fit batch: every event has its own data row,
+    remnant (Mf, chif), and window (t0, T); the event axis is chunked
+    lax.map over the fit core with per-event spectrum evaluation (the
+    catalog-serving shape -- nothing in the reference batches across
+    events at all)."""
+    ev = SpectrumEvaluator(list(modes))
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def run(times, rows, Mfs, chifs, t0s, Ts):
+        def one(args):
+            d, Mf, chif, t0, T = args
+            omega = ev.omega(chif, Mf)
+            mu = jnp.ones((1, omega.shape[0]))
+            w = window(times, t0, T)
+            return fit_core(times, d[None, :], omega, mu, t0, w, cdtype)
+
+        return jax.lax.map(one, (rows, Mfs, chifs, t0s, Ts),
+                           batch_size=_CHUNK)
+
+    return jax.jit(run)
+
+
+def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
+                     t0_method="geq", precision="x64", mesh=None):
+    """Fit the SAME mode model to MANY events in one program.
+
+    The catalog-population workload: E ringdown series on a shared time
+    grid (resample host-side if needed), each with its own remnant
+    (Mf_e, chif_e) and analysis start t0_e.  The reference fits events
+    one Python call at a time (qnmfits.py:142-315 per event); here the
+    event axis is one chunked device program with per-event spectrum
+    spline evaluation.
+
+    times (K,); data (E, K) complex; Mf/chif/t0/T scalars or (E,)
+    arrays.  Returns (mm (E,), C (E, J) complex).  Pass ``mesh`` (or
+    mesh='auto') to shard the event axis over a device mesh.
+    """
+    times = np.asarray(times, float)
+    rows = np.asarray(data, complex)
+    if rows.ndim != 2:
+        raise ValueError("data must be (E, K): one series per event")
+    E = rows.shape[0]
+
+    def _e(x):
+        arr = np.broadcast_to(np.asarray(x, float), (E,))
+        return np.ascontiguousarray(arr)
+
+    from .engine import check_spin
+    chifs = _e(chif)
+    for c in chifs:
+        check_spin(float(c))
+
+    if mesh is not None:
+        from .parallel.mesh import sharded_event_batch, sweep_mesh
+        if mesh == "auto":
+            mesh = sweep_mesh(n_time=1)
+        mm, C = sharded_event_batch(
+            times, rows, _e(Mf), chifs, _e(t0), _e(T), _canon(modes),
+            mesh=mesh, t0_method=t0_method, precision=precision)
+        return np.asarray(mm), np.asarray(C)
+    fn = _event_batch_fn(_canon(modes), t0_method, precision)
+    C, mm = fn(*_put((times, rows, _e(Mf), chifs, _e(t0), _e(T)),
+                     precision))
+    return np.asarray(mm), np.asarray(C)

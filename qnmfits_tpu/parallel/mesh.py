@@ -33,7 +33,8 @@ from ..ops.windows import window_closest, window_geq
 __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
            "sharded_t0_sweep_real", "sharded_fit_core_real",
            "sharded_t0_sweep_factored",
-           "sharded_t0_sweep_modesets_factored", "sharded_spectra_sweep"]
+           "sharded_t0_sweep_modesets_factored", "sharded_spectra_sweep",
+           "sharded_event_batch"]
 
 
 def _host_trapz(times, w):
@@ -409,3 +410,50 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
         np.asarray(times), np.asarray(dre), np.asarray(dim),
         wrs_p, wis_p, mres_p, mims_p, np.asarray(w))
     return Cre[:Q], Cim[:Q], mm[:Q]
+
+
+def sharded_event_batch(times, rows, Mfs, chifs, t0s, Ts, modes,
+                        mesh: Mesh, t0_method: str = "geq",
+                        precision: str = "x64"):
+    """Per-event fit batch sharded over 'sweep': catalog-population DP
+    (each event its own remnant + window; one result gather).
+
+    times (K,) replicated; rows (E, K), Mfs/chifs/t0s/Ts (E,) sharded.
+    Returns (mm (E,), C (E, J) complex) gathered.
+    """
+    import jax.numpy as jnp
+
+    from ..engine import SpectrumEvaluator
+    from ..ops.windows import window_closest, window_geq
+
+    ev = SpectrumEvaluator(list(modes))
+    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
+    window = window_geq if t0_method == "geq" else window_closest
+
+    n_sweep = mesh.shape["sweep"]
+    rows_p, E = _pad_to(np.asarray(rows), n_sweep)
+    Mfs_p, _ = _pad_to(np.asarray(Mfs), n_sweep)
+    chifs_p, _ = _pad_to(np.asarray(chifs), n_sweep)
+    t0s_p, _ = _pad_to(np.asarray(t0s), n_sweep)
+    Ts_p, _ = _pad_to(np.asarray(Ts), n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("sweep"), P("sweep"), P("sweep"), P("sweep"),
+                  P("sweep")),
+        out_specs=(P("sweep"), P("sweep")),
+    )
+    def run(times_, rows_, Mf_loc, chif_loc, t0_loc, T_loc):
+        def one(args):
+            d, Mf, chif, t0, T = args
+            omega = ev.omega(chif, Mf)
+            mu = jnp.ones((1, omega.shape[0]))
+            w = window(times_, t0, T)
+            return fit_core(times_, d[None, :], omega, mu, t0, w, cdtype)
+
+        return jax.lax.map(one, (rows_, Mf_loc, chif_loc, t0_loc, T_loc),
+                           batch_size=64)
+
+    C, mm = jax.jit(run)(np.asarray(times), rows_p, Mfs_p, chifs_p,
+                         t0s_p, Ts_p)
+    return mm[:E], C[:E]

@@ -39,7 +39,7 @@ REF_BASE_METHODS = [
 BEYOND_REFERENCE = [
     # TPU-native surfaces a reference user gains by switching
     "mismatch_t0_mode_sets", "free_frequency_fit_array",
-    "calculate_epsilon_array",
+    "calculate_epsilon_array", "fit_events",
 ]
 
 

@@ -566,3 +566,66 @@ def test_mismatch_t0_array_dynamic_delta_raises():
         fitting.mismatch_t0_array(
             syn["times"], syn["data"], syn["modes"], syn["Mf"], chif_t,
             np.linspace(0.0, 10.0, 3), delta=0.01)
+
+
+class TestEventBatch:
+    """batch_fit_events: the per-event catalog batch (each event its own
+    remnant + window) == per-event ringdown_fit loop."""
+
+    def test_matches_per_event_fits(self):
+        import qnmfits_tpu as qf
+        from qnmfits_tpu.testing import synthetic_single
+
+        rng = np.random.default_rng(9)
+        times = np.arange(-5.0, 90.0, 0.1)
+        modes = [(2, 2, n, 1) for n in range(3)]
+        E = 5
+        Mfs = rng.uniform(0.9, 1.0, E)
+        chifs = rng.uniform(0.5, 0.8, E)
+        t0s = rng.uniform(0.0, 8.0, E)
+        rows = np.empty((E, len(times)), complex)
+        for e in range(E):
+            syn = synthetic_single(modes=modes, Mf=Mfs[e], chif=chifs[e],
+                                   times=times, noise=1e-4, seed=100 + e)
+            rows[e] = syn["data"]
+        mm, C = batched.batch_fit_events(times, rows, modes, Mfs, chifs,
+                                         t0s, T=80.0)
+        assert mm.shape == (E,) and C.shape == (E, 3)
+        for e in range(E):
+            ref = qf.ringdown_fit(times, rows[e], modes, Mfs[e],
+                                  chifs[e], t0=float(t0s[e]), T=80.0)
+            assert abs(mm[e] - ref["mismatch"]) < 1e-11
+            np.testing.assert_allclose(C[e], ref["C"], rtol=0, atol=1e-8)
+
+    def test_bad_spin_raises(self):
+        times = np.linspace(0, 10, 101)
+        rows = np.zeros((2, 101), complex)
+        with pytest.raises(ValueError, match="chif"):
+            batched.batch_fit_events(times, rows, [(2, 2, 0, 1)],
+                                     0.95, np.array([0.5, 1.3]), 0.0)
+
+    def test_sharded_event_batch_matches(self):
+        import jax
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        from qnmfits_tpu.parallel.mesh import sweep_mesh
+        from qnmfits_tpu.testing import synthetic_single
+
+        rng = np.random.default_rng(10)
+        times = np.arange(-5.0, 60.0, 0.1)
+        modes = [(2, 2, 0, 1)]
+        E = 6                                   # not divisible by 8
+        Mfs = rng.uniform(0.9, 1.0, E)
+        chifs = rng.uniform(0.5, 0.8, E)
+        t0s = rng.uniform(0.0, 5.0, E)
+        rows = np.stack([synthetic_single(
+            modes=modes, Mf=Mfs[e], chif=chifs[e], times=times,
+            noise=1e-4, seed=200 + e)["data"] for e in range(E)])
+        mm0, C0 = batched.batch_fit_events(times, rows, modes, Mfs,
+                                           chifs, t0s, T=50.0)
+        mm1, C1 = batched.batch_fit_events(
+            times, rows, modes, Mfs, chifs, t0s, T=50.0,
+            mesh=sweep_mesh(n_sweep=8, n_time=1, devices=devs))
+        np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(C1, C0, rtol=0, atol=1e-10)
