@@ -880,8 +880,16 @@ def _event_batch_fn(modes, t0_method, precision):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=16)
+def _event_batch_fast_fn(chunk):
+    from .engine_real import sweep_events_real
+
+    return jax.jit(lambda *a: sweep_events_real(*a, chunk=chunk))
+
+
 def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
-                     t0_method="geq", precision="x64", mesh=None):
+                     t0_method="geq", precision="x64", mesh=None,
+                     engine="batched", chunk=64):
     """Fit the SAME mode model to MANY events in one program.
 
     The catalog-population workload: E ringdown series on a shared time
@@ -894,6 +902,12 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
     times (K,); data (E, K) complex; Mf/chif/t0/T scalars or (E,)
     arrays.  Returns (mm (E,), C (E, J) complex).  Pass ``mesh`` (or
     mesh='auto') to shard the event axis over a device mesh.
+    engine='fast' runs the split-complex TPU kernel (t0_method='geq';
+    per-event spectra spline-evaluated host-side, one device program)
+    -- measured SLOWER than the default x64 CPU batch at single-chip
+    catalog shapes (per-event Gram assembly is the grid engines'
+    bottleneck class, PERF.md section 14); use it when the host CPU is
+    the contended resource or with a device mesh.
     """
     times = np.asarray(times, float)
     rows = np.asarray(data, complex)
@@ -918,6 +932,16 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
             times, rows, _e(Mf), chifs, _e(t0), _e(T), _canon(modes),
             mesh=mesh, t0_method=t0_method, precision=precision)
         return np.asarray(mm), np.asarray(C)
+    if engine == "fast":
+        if t0_method != "geq":
+            raise ValueError("engine='fast' supports t0_method='geq' only")
+        ev = SpectrumEvaluator(list(_canon(modes)))
+        with _on_host():
+            omegas = np.asarray(ev.omega(chifs, _e(Mf)).T)   # (E, J)
+        Cre, Cim, mm = _event_batch_fast_fn(chunk)(
+            times, rows.real.copy(), rows.imag.copy(),
+            omegas.real.copy(), omegas.imag.copy(), _e(t0), _e(T))
+        return np.asarray(mm), np.asarray(Cre) + 1j * np.asarray(Cim)
     fn = _event_batch_fn(_canon(modes), t0_method, precision)
     C, mm = fn(*_put((times, rows, _e(Mf), chifs, _e(t0), _e(T)),
                      precision))

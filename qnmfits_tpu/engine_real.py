@@ -766,3 +766,26 @@ def sweep_spectra_blocked_real(times, dre, dim, wrs, wis, mres, mims, t0,
          mres.reshape(nb, block, I, J), mims.reshape(nb, block, I, J)))
     return (Cre.reshape(-1, J)[:Q], Cim.reshape(-1, J)[:Q],
             mm.reshape(-1)[:Q])
+
+
+def sweep_events_real(times, dres, dims, wrs, wis, t0s, Ts,
+                      chunk: int = 64):
+    """Per-EVENT fit batch, all-real: each event has its own data row,
+    spectrum, and window (the catalog-serving kernel behind
+    batched.batch_fit_events(engine='fast')).
+
+    times (K,); dres/dims (E, K); wrs/wis (E, J); t0s/Ts (E,).
+    Returns (Cre (E, J), Cim (E, J), mm (E,)).
+    """
+    J = wrs.shape[1]
+    ones = jnp.ones((1, J))
+    zeros = jnp.zeros((1, J))
+
+    def one(args):
+        dre, dim, wr, wi, t0, T = args
+        w = ((times >= t0) & (times < t0 + T)).astype(times.dtype)
+        return fit_core_real(times, dre[None, :], dim[None, :], wr, wi,
+                             ones, zeros, t0, w)
+
+    return jax.lax.map(one, (dres, dims, wrs, wis, t0s, Ts),
+                       batch_size=chunk)

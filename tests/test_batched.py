@@ -629,3 +629,24 @@ class TestEventBatch:
             mesh=sweep_mesh(n_sweep=8, n_time=1, devices=devs))
         np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-12)
         np.testing.assert_allclose(C1, C0, rtol=0, atol=1e-10)
+
+    def test_fast_engine_matches_batched(self):
+        from qnmfits_tpu.testing import synthetic_single
+
+        rng = np.random.default_rng(11)
+        times = np.arange(-5.0, 70.0, 0.1)
+        modes = [(2, 2, n, 1) for n in range(3)]
+        E = 4
+        Mfs = rng.uniform(0.9, 1.0, E)
+        chifs = rng.uniform(0.5, 0.8, E)
+        t0s = rng.uniform(0.0, 6.0, E)
+        rows = np.stack([synthetic_single(
+            modes=modes, Mf=Mfs[e], chif=chifs[e], times=times,
+            noise=1e-4, seed=300 + e)["data"] for e in range(E)])
+        mm0, C0 = batched.batch_fit_events(times, rows, modes, Mfs,
+                                           chifs, t0s, T=60.0)
+        mm1, C1 = batched.batch_fit_events(times, rows, modes, Mfs,
+                                           chifs, t0s, T=60.0,
+                                           engine="fast")
+        np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-11)
+        np.testing.assert_allclose(C1, C0, rtol=0, atol=1e-8)
