@@ -856,7 +856,7 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
 
 
 @lru_cache(maxsize=64)
-def _event_batch_fn(modes, t0_method, precision):
+def _event_batch_fn(modes, t0_method, precision, chunk):
     """Jitted per-EVENT fit batch: every event has its own data row,
     remnant (Mf, chif), and window (t0, T); the event axis is chunked
     lax.map over the fit core with per-event spectrum evaluation (the
@@ -875,7 +875,7 @@ def _event_batch_fn(modes, t0_method, precision):
             return fit_core(times, d[None, :], omega, mu, t0, w, cdtype)
 
         return jax.lax.map(one, (rows, Mfs, chifs, t0s, Ts),
-                           batch_size=_CHUNK)
+                           batch_size=chunk)
 
     return jax.jit(run)
 
@@ -909,6 +909,8 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
     bottleneck class, PERF.md section 14); use it when the host CPU is
     the contended resource or with a device mesh.
     """
+    if t0_method not in ("geq", "closest"):
+        raise ValueError("t0_method must be 'geq' or 'closest'")
     times = np.asarray(times, float)
     rows = np.asarray(data, complex)
     if rows.ndim != 2:
@@ -924,25 +926,28 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
     for c in chifs:
         check_spin(float(c))
 
-    if mesh is not None:
-        from .parallel.mesh import sharded_event_batch, sweep_mesh
-        if mesh == "auto":
-            mesh = sweep_mesh(n_time=1)
-        mm, C = sharded_event_batch(
-            times, rows, _e(Mf), chifs, _e(t0), _e(T), _canon(modes),
-            mesh=mesh, t0_method=t0_method, precision=precision)
-        return np.asarray(mm), np.asarray(C)
-    if engine == "fast":
+    if mesh is not None or engine == "fast":
+        # Both the mesh and 'fast' paths run the split-complex kernel
+        # with HOST-evaluated per-event spectra (TPU-mesh safe: no
+        # complex dtype or spline work on the device).
         if t0_method != "geq":
-            raise ValueError("engine='fast' supports t0_method='geq' only")
+            raise ValueError("engine='fast'/mesh event batches support "
+                             "t0_method='geq' only")
         ev = SpectrumEvaluator(list(_canon(modes)))
         with _on_host():
             omegas = np.asarray(ev.omega(chifs, _e(Mf)).T)   # (E, J)
-        Cre, Cim, mm = _event_batch_fast_fn(chunk)(
-            times, rows.real.copy(), rows.imag.copy(),
-            omegas.real.copy(), omegas.imag.copy(), _e(t0), _e(T))
+        args = (times, rows.real.copy(), rows.imag.copy(),
+                omegas.real.copy(), omegas.imag.copy(), _e(t0), _e(T))
+        if mesh is not None:
+            from .parallel.mesh import sharded_event_batch, sweep_mesh
+            if mesh == "auto":
+                mesh = sweep_mesh(n_time=1)
+            Cre, Cim, mm = sharded_event_batch(*args, mesh=mesh,
+                                               chunk=chunk)
+        else:
+            Cre, Cim, mm = _event_batch_fast_fn(chunk)(*args)
         return np.asarray(mm), np.asarray(Cre) + 1j * np.asarray(Cim)
-    fn = _event_batch_fn(_canon(modes), t0_method, precision)
+    fn = _event_batch_fn(_canon(modes), t0_method, precision, int(chunk))
     C, mm = fn(*_put((times, rows, _e(Mf), chifs, _e(t0), _e(T)),
                      precision))
     return np.asarray(mm), np.asarray(C)

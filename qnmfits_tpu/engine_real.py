@@ -777,13 +777,15 @@ def sweep_events_real(times, dres, dims, wrs, wis, t0s, Ts,
     times (K,); dres/dims (E, K); wrs/wis (E, J); t0s/Ts (E,).
     Returns (Cre (E, J), Cim (E, J), mm (E,)).
     """
+    from .ops.windows import window_geq
+
     J = wrs.shape[1]
     ones = jnp.ones((1, J))
     zeros = jnp.zeros((1, J))
 
     def one(args):
         dre, dim, wr, wi, t0, T = args
-        w = ((times >= t0) & (times < t0 + T)).astype(times.dtype)
+        w = window_geq(times, t0, T).astype(times.dtype)
         return fit_core_real(times, dre[None, :], dim[None, :], wr, wi,
                              ones, zeros, t0, w)
 

@@ -331,6 +331,9 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
         if mesh is not None:
             raise ValueError("mesh sharding of the dynamic mode-set "
                              "sweep is not supported")
+        if bucket:
+            raise ValueError("bucket=True is not supported for the "
+                             "dynamic mode-set sweep")
         from .batched import batch_mismatch_t0_modesets_dynamic
         return batch_mismatch_t0_modesets_dynamic(
             times, data, mode_sets, Mf, chif, t0_array,

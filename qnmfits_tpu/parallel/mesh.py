@@ -412,48 +412,36 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
     return Cre[:Q], Cim[:Q], mm[:Q]
 
 
-def sharded_event_batch(times, rows, Mfs, chifs, t0s, Ts, modes,
-                        mesh: Mesh, t0_method: str = "geq",
-                        precision: str = "x64"):
+def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
+                        mesh: Mesh, chunk: int = 64):
     """Per-event fit batch sharded over 'sweep': catalog-population DP
-    (each event its own remnant + window; one result gather).
+    on the SPLIT-COMPLEX kernel (TPU-mesh safe -- per-event spectra are
+    spline-evaluated host-side by the caller; no complex dtype or x64
+    spline work ever enters the device program).
 
-    times (K,) replicated; rows (E, K), Mfs/chifs/t0s/Ts (E,) sharded.
-    Returns (mm (E,), C (E, J) complex) gathered.
+    times (K,) replicated; dres/dims (E, K), wrs/wis (E, J),
+    t0s/Ts (E,) sharded.  Returns (Cre (E, J), Cim (E, J), mm (E,)).
     """
-    import jax.numpy as jnp
-
-    from ..engine import SpectrumEvaluator
-    from ..ops.windows import window_closest, window_geq
-
-    ev = SpectrumEvaluator(list(modes))
-    cdtype = jnp.complex128 if precision == "x64" else jnp.complex64
-    window = window_geq if t0_method == "geq" else window_closest
+    from ..engine_real import sweep_events_real
 
     n_sweep = mesh.shape["sweep"]
-    rows_p, E = _pad_to(np.asarray(rows), n_sweep)
-    Mfs_p, _ = _pad_to(np.asarray(Mfs), n_sweep)
-    chifs_p, _ = _pad_to(np.asarray(chifs), n_sweep)
+    dres_p, E = _pad_to(np.asarray(dres), n_sweep)
+    dims_p, _ = _pad_to(np.asarray(dims), n_sweep)
+    wrs_p, _ = _pad_to(np.asarray(wrs), n_sweep)
+    wis_p, _ = _pad_to(np.asarray(wis), n_sweep)
     t0s_p, _ = _pad_to(np.asarray(t0s), n_sweep)
     Ts_p, _ = _pad_to(np.asarray(Ts), n_sweep)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P("sweep"), P("sweep"), P("sweep"), P("sweep"),
-                  P("sweep")),
-        out_specs=(P("sweep"), P("sweep")),
+                  P("sweep"), P("sweep")),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
     )
-    def run(times_, rows_, Mf_loc, chif_loc, t0_loc, T_loc):
-        def one(args):
-            d, Mf, chif, t0, T = args
-            omega = ev.omega(chif, Mf)
-            mu = jnp.ones((1, omega.shape[0]))
-            w = window(times_, t0, T)
-            return fit_core(times_, d[None, :], omega, mu, t0, w, cdtype)
+    def run(times_, dres_, dims_, wrs_, wis_, t0_loc, T_loc):
+        return sweep_events_real(times_, dres_, dims_, wrs_, wis_,
+                                 t0_loc, T_loc, chunk=chunk)
 
-        return jax.lax.map(one, (rows_, Mf_loc, chif_loc, t0_loc, T_loc),
-                           batch_size=64)
-
-    C, mm = jax.jit(run)(np.asarray(times), rows_p, Mfs_p, chifs_p,
-                         t0s_p, Ts_p)
-    return mm[:E], C[:E]
+    Cre, Cim, mm = jax.jit(run)(np.asarray(times), dres_p, dims_p,
+                                wrs_p, wis_p, t0s_p, Ts_p)
+    return Cre[:E], Cim[:E], mm[:E]
