@@ -34,7 +34,7 @@ __all__ = ["sweep_mesh", "sharded_t0_sweep", "sharded_fit_core",
            "sharded_t0_sweep_real", "sharded_fit_core_real",
            "sharded_t0_sweep_factored",
            "sharded_t0_sweep_modesets_factored", "sharded_spectra_sweep",
-           "sharded_event_batch"]
+           "sharded_event_batch", "sharded_t0_sweep_factored_2d"]
 
 
 def _host_trapz(times, w):
@@ -445,3 +445,160 @@ def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
     Cre, Cim, mm = jax.jit(run)(np.asarray(times), dres_p, dims_p,
                                 wrs_p, wis_p, t0s_p, Ts_p)
     return Cre[:E], Cim[:E], mm[:E]
+
+
+def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
+                                 Ts, mesh: Mesh, col_mask=None,
+                                 chunk: int = 64):
+    """The factored t0 sweep with BOTH mesh axes live: windows sharded
+    over 'sweep' AND the time-sample axis K sharded over 'time' with
+    psum'd Gram contributions -- sequence parallelism for the
+    production kernel (long-waveform fits where K dominates HBM).
+
+    The factored chunk body needs two globally-coupled quantities per
+    sample: the window indicator of the NEXT sample (trapezoid segment
+    seg_k = W_k W_{k+1} dt_k / 2) and the segment of the PREVIOUS
+    sample (tau_k = seg_{k-1} + seg_k).  Both become locally computable
+    by shipping shifted copies of the time grid (times_prev/times_next,
+    sharded identically to times): W at a neighbour sample is a pure
+    function of its time value and the replicated window parameters,
+    so no halo exchange is needed.
+
+    times (K,), dre/dim (I, K) sharded on 'time'; wr/wi (J,),
+    mre/mim (I, J) replicated; t0s/Ts (B,) sharded on 'sweep'
+    (sorted ascending).  K must divide by the 'time' axis size.
+    Returns (Cre (B, J), Cim (B, J), mm (B,)).
+    """
+    from ..engine_real import _regularised_solve
+
+    n_sweep = mesh.shape["sweep"]
+    n_time = mesh.shape["time"]
+    times = np.asarray(times)
+    K = times.shape[0]
+    if K % n_time:
+        raise ValueError(
+            f"time axis {K} not divisible by mesh time={n_time}")
+    t0s = np.asarray(t0s)
+    if np.any(np.diff(t0s) < 0):
+        raise ValueError("t0_array must be sorted ascending")
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep * chunk)
+    Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
+
+    # Shifted time grids (edge-replicated): dt at the global edges is 0,
+    # so the edge segments vanish exactly like the single-device kernel's
+    # zero padding.
+    t_prev = np.concatenate([times[:1], times[:-1]])
+    t_next = np.concatenate([times[1:], times[-1:]])
+
+    spec_rep = (P(),) * 4
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("time"), P("time"), P("time"), P(None, "time"),
+                  P(None, "time")) + spec_rep + (P("sweep"), P("sweep")),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(t_loc, tp_loc, tn_loc, dre_, dim_, wr_, wi_, mre_, mim_,
+            t0_loc, T_loc):
+        nc = t0_loc.shape[0] // chunk
+
+        def one_chunk(args):
+            t0c, Tc = args
+            tref = t0c[0]
+            dt0 = jnp.maximum(t_loc - tref, 0.0)
+            E = jnp.exp(wi_[None, :] * dt0[:, None])
+            ph = wr_[None, :] * dt0[:, None]
+            P0 = E * jnp.cos(ph)
+            Q0 = -E * jnp.sin(ph)
+            J = wr_.shape[0]
+            I = dre_.shape[0]
+            Kl = t_loc.shape[0]
+            A1 = (P0[:, :, None] * P0[:, None, :]
+                  + Q0[:, :, None] * Q0[:, None, :]).reshape(Kl, J * J)
+            A2 = (P0[:, :, None] * Q0[:, None, :]
+                  - Q0[:, :, None] * P0[:, None, :]).reshape(Kl, J * J)
+            R1 = (P0[:, None, :] * dre_.T[:, :, None]
+                  + Q0[:, None, :] * dim_.T[:, :, None]).reshape(Kl, I * J)
+            R2 = (P0[:, None, :] * dim_.T[:, :, None]
+                  - Q0[:, None, :] * dre_.T[:, :, None]).reshape(Kl, I * J)
+
+            def win(t):
+                return ((t[None, :] >= t0c[:, None])
+                        & (t[None, :] < (t0c + Tc)[:, None])) \
+                    .astype(t_loc.dtype)
+
+            W = win(t_loc)                         # (Bc, Kl)
+            Wp = win(tp_loc)
+            Wn = win(tn_loc)
+            # Trapezoid weights from locally-computable neighbour
+            # segments: tau_k = seg(k-1, k) + seg(k, k+1).
+            seg_next = W * Wn * (tn_loc - t_loc)[None, :] * 0.5
+            seg_prev = Wp * W * (t_loc - tp_loc)[None, :] * 0.5
+            Tau = seg_prev + seg_next
+
+            Gt_re = jax.lax.psum(W @ A1, "time").reshape(-1, J, J)
+            Gt_im = jax.lax.psum(W @ A2, "time").reshape(-1, J, J)
+            Gtau_re = jax.lax.psum(Tau @ A1, "time").reshape(-1, J, J)
+            Gtau_im = jax.lax.psum(Tau @ A2, "time").reshape(-1, J, J)
+            pd_re = jax.lax.psum(W @ R1, "time").reshape(-1, I, J)
+            pd_im = jax.lax.psum(W @ R2, "time").reshape(-1, I, J)
+            pdt_re = jax.lax.psum(Tau @ R1, "time").reshape(-1, I, J)
+            pdt_im = jax.lax.psum(Tau @ R2, "time").reshape(-1, I, J)
+            dnorm = jax.lax.psum(
+                Tau @ jnp.sum(dre_ * dre_ + dim_ * dim_, axis=0), "time")
+
+            M_re = mre_.T @ mre_ + mim_.T @ mim_
+            M_im = mre_.T @ mim_ - mim_.T @ mre_
+            G_re = M_re[None] * Gt_re - M_im[None] * Gt_im
+            G_im = M_re[None] * Gt_im + M_im[None] * Gt_re
+            G2_re = M_re[None] * Gtau_re - M_im[None] * Gtau_im
+            G2_im = M_re[None] * Gtau_im + M_im[None] * Gtau_re
+
+            rhs_re = jnp.einsum("ij,bij->bj", mre_, pd_re) \
+                + jnp.einsum("ij,bij->bj", mim_, pd_im)
+            rhs_im = jnp.einsum("ij,bij->bj", mre_, pd_im) \
+                - jnp.einsum("ij,bij->bj", mim_, pd_re)
+            rt_re = jnp.einsum("ij,bij->bj", mre_, pdt_re) \
+                + jnp.einsum("ij,bij->bj", mim_, pdt_im)
+            rt_im = jnp.einsum("ij,bij->bj", mre_, pdt_im) \
+                - jnp.einsum("ij,bij->bj", mim_, pdt_re)
+
+            if col_mask is not None:
+                keep = jnp.asarray(col_mask)
+                kk = (keep[:, None] & keep[None, :])[None]
+                eye = jnp.eye(J, dtype=G_re.dtype)[None]
+                G_re = jnp.where(kk, G_re, eye)
+                G_im = jnp.where(kk, G_im, 0.0)
+                rhs_re = jnp.where(keep[None], rhs_re, 0.0)
+                rhs_im = jnp.where(keep[None], rhs_im, 0.0)
+
+            C0re, C0im = _regularised_solve(G_re, G_im, rhs_re, rhs_im)
+
+            num = jnp.sum(C0re * rt_re + C0im * rt_im, axis=-1)
+            GC_re = jnp.einsum("bjl,bl->bj", G2_re, C0re) \
+                - jnp.einsum("bjl,bl->bj", G2_im, C0im)
+            GC_im = jnp.einsum("bjl,bl->bj", G2_re, C0im) \
+                + jnp.einsum("bjl,bl->bj", G2_im, C0re)
+            model_norm = jnp.sum(C0re * GC_re + C0im * GC_im, axis=-1)
+            mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+
+            delta = (t0c - tref)[:, None]
+            g = jnp.exp(wi_[None, :] * delta)
+            cph = jnp.cos(wr_[None, :] * delta)
+            sph = jnp.sin(wr_[None, :] * delta)
+            Cre = g * (C0re * cph + C0im * sph)
+            Cim = g * (C0im * cph - C0re * sph)
+            return Cre, Cim, mm
+
+        Cre, Cim, mm = jax.lax.map(
+            one_chunk, (t0_loc.reshape(nc, chunk),
+                        T_loc.reshape(nc, chunk)))
+        J = wr_.shape[0]
+        return (Cre.reshape(-1, J), Cim.reshape(-1, J), mm.reshape(-1))
+
+    Cre, Cim, mm = jax.jit(run)(
+        times, t_prev, t_next, np.asarray(dre), np.asarray(dim),
+        np.asarray(wr), np.asarray(wi), np.asarray(mre), np.asarray(mim),
+        t0s_p, Ts_p)
+    return Cre[:B], Cim[:B], mm[:B]

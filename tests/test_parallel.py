@@ -249,3 +249,31 @@ def test_sharded_grid_sweeps_match_fast(cpu_devices):
         syn["chif"], (0.3, 0.8), (-0.4, -0.05), engine="sharded",
         mesh=mesh, **kw)
     np.testing.assert_allclose(mm_so, mm_fo, rtol=0, atol=1e-12)
+
+
+def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
+    """The factored production kernel with BOTH mesh axes live (windows
+    over 'sweep', time samples over 'time' with psum'd Gram sums +
+    halo-free trapezoid weights) == single-device factored sweep."""
+    import jax.numpy as jnp
+    from qnmfits_tpu.engine_real import sweep_t0_factored_real
+    from qnmfits_tpu.parallel.mesh import (
+        sharded_t0_sweep_factored_2d, sweep_mesh)
+
+    times, dre, dim, wr, wi, mre, mim = problem
+    K = times.shape[0]
+    K4 = K - (K % 4)               # 'time' axis of 4 needs divisibility
+    times, dre, dim = times[:K4], dre[:, :K4], dim[:, :K4]
+    t0s = np.linspace(2.0, 20.0, 8)
+    Ts = np.full_like(t0s, 40.0)
+
+    _, _, mm_ref = sweep_t0_factored_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), jnp.asarray(t0s), jnp.asarray(Ts), chunk=4)
+
+    mesh = sweep_mesh(n_sweep=2, n_time=4, devices=cpu_devices)
+    Cre, Cim, mm = sharded_t0_sweep_factored_2d(
+        times, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh, chunk=4)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref),
+                               rtol=0, atol=1e-10)
