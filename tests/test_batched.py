@@ -373,6 +373,28 @@ class TestModesetSweep:
                 [syn_mm["modes"]], syn_mm["Mf"], chif_t,
                 np.linspace(0.0, 5.0, 3), t0_method="GEQ")
 
+
+    def test_bucket_with_mesh(self, syn_mm):
+        """bucket=True composes with mesh sharding (each width class
+        runs its own sharded kernel)."""
+        import jax
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual CPU devices")
+        from qnmfits_tpu.parallel.mesh import sweep_mesh
+        mode_sets = [[(2, 2, n, 1) for n in range(nmax)]
+                     for nmax in (1, 4)]
+        t0s = np.linspace(0.0, 12.0, 8)
+        kw = dict(T_array=80.0, spherical_modes=syn_mm["spherical_modes"])
+        mm0 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, **kw)
+        mm1 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, bucket=True,
+            mesh=sweep_mesh(n_sweep=8, n_time=1, devices=devs), **kw)
+        np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-12)
+
     def test_unsorted_t0_raises(self, syn_mm):
         with pytest.raises(ValueError, match="sorted"):
             batched.batch_mismatch_t0_modesets(
