@@ -349,3 +349,25 @@ def test_l10_extension(q):
         assert abs(q.omega(10, 5, n, 1, 0.0) - seeds[(10, n)]) < 1e-8
     w = q.omega(10, 10, 0, 1, 0.0)
     assert abs(w.real - 10.5 / np.sqrt(27.0)) / w.real < 0.03
+
+
+def test_on_demand_solve_success_path():
+    """A mode outside the baked artifact is solved on demand, appended
+    as a live spline row, disk-cached (track_cache), and its frequency
+    continues the l-ladder's eikonal trend.  (~7 s on a fresh machine,
+    instant once the track cache exists.)"""
+    from qnmfits_tpu.spectrum.tables import default_tables
+
+    t = default_tables()
+    ms = t.compile_modes([(11, 2, 0, 1)])       # baked coverage is l<=10
+    w11 = complex(t.omega_np(ms, 0.68)[0])
+    w10 = complex(t.omega_np(t.compile_modes([(10, 2, 0, 1)]), 0.68)[0])
+    w9 = complex(t.omega_np(t.compile_modes([(9, 2, 0, 1)]), 0.68)[0])
+    # Eikonal spacing: Re omega grows by a near-constant step per l.
+    step1 = w10.real - w9.real
+    step2 = w11.real - w10.real
+    assert abs(step2 - step1) < 0.05 * step1
+    # Fundamental decay rates vary slowly along the ladder.
+    assert abs(w11.imag - w10.imag) < 0.01
+    # Regression pin (deterministic solver).
+    assert abs(w11 - (2.3864244708 - 0.0906875519j)) < 1e-8
