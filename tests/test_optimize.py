@@ -154,3 +154,18 @@ class TestBatchedOptimizerSweeps:
             syn["times"], syn["data_dict"], syn["modes"], syn["Mf"],
             syn["chif"], 5.0, T=80.0, **kw)
         assert abs(Mf_b[0] - m) < 1e-6 and abs(chif_b[0] - c) < 1e-6
+
+
+def test_free_frequency_array_closest_method():
+    from qnmfits_tpu.optimize import (free_frequency_fit_array,
+                                      free_frequency_fit_gradient)
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=0.0, seed=6)
+    t0s = np.array([5.3, 10.7])
+    wb = free_frequency_fit_array(syn["times"], syn["data"], t0s,
+                                  t0_method="closest")
+    ws = np.array([free_frequency_fit_gradient(
+        syn["times"], syn["data"], float(t0), t0_method="closest")
+        for t0 in t0s])
+    np.testing.assert_allclose(wb, ws, rtol=0, atol=1e-6)

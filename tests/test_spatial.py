@@ -334,3 +334,19 @@ class TestSpatialMismatchRoundTrip:
         sm, phase, z = spatial.spatial_mismatch_quadratic(
             out, quad, 8, chif, spatial.Qmu_B)
         assert sm < 1e-8
+
+
+def test_spatial_prediction_quadratic_with_Qmu_D():
+    """The D-predictor (extra sqrt factor) flows through the sky
+    prediction API (with_extra path of the compiled engine)."""
+    th = np.linspace(0.1, np.pi - 0.1, 8)
+    ph = np.zeros_like(th)
+    quad = (2, 2, 0, 1, 2, 2, 0, 1)
+    pat_a = spatial.spatial_prediction_quadratic(th, ph, quad, 8, 0.68,
+                                                 spatial.Qmu_A, s2=-2)
+    pat_d = spatial.spatial_prediction_quadratic(th, ph, quad, 8, 0.68,
+                                                 spatial.Qmu_D, s2=-2)
+    assert np.all(np.isfinite(pat_a)) and np.all(np.isfinite(pat_d))
+    # D reweights rows by sqrt((i+4)(i-3)(i+3)(i-2)): the normalised
+    # patterns must differ.
+    assert np.max(np.abs(pat_a - pat_d)) > 1e-3
