@@ -517,6 +517,66 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     return mm.reshape(res, res).T
 
 
+@lru_cache(maxsize=16)
+def _omega_bordered_fn(a_chunk):
+    from .engine_real import sweep_omega_grid_bordered_real
+
+    return jax.jit(
+        lambda *a: sweep_omega_grid_bordered_real(*a, a_chunk=a_chunk))
+
+
+def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
+                                  im_minmax, t0, t0_method="geq", T=100,
+                                  res=50, a_chunk=8, mesh=None,
+                                  return_amplitudes=False):
+    """Complex-frequency grid via the bordered fixed-block kernel (hot
+    loop #3, reference qnmfits.py:1679-1827).
+
+    The Jf fixed QNM columns are identical at every grid point, so the
+    fixed Gram block is assembled, equilibrated, floored and factorised
+    ONCE; each grid point costs only its free-column phases (separable
+    over the (Re, Im) axes), one row of a batched cross-Gram matmul and
+    an O(Jf) bordered block-elimination solve -- instead of the full
+    per-point O(K J^2) assembly + J x J Cholesky of the spectrum-batched
+    kernel.  Same regularised system, same <=1e-11 parity bar
+    (tests/test_batched.py).  Transposed output layout like the
+    reference (qnmfits.py:1825).
+    """
+    times, rows, sph = _prep(times, data, None)
+    re_axis = np.linspace(*re_minmax, res)
+    im_axis = np.linspace(*im_minmax, res)
+
+    if modes:
+        ev = SpectrumEvaluator(list(_canon(modes)))
+        with _on_host():
+            fixed = np.asarray(ev.omega(
+                float(chif) if chif is not None else 0.0,
+                float(Mf) if Mf is not None else 1.0))
+    else:
+        fixed = np.zeros((0,), complex)
+
+    window = window_geq if t0_method == "geq" else window_closest
+    with _on_host():
+        w = np.asarray(window(times, float(t0), float(T)), float)
+
+    args = (np.asarray(times, float), rows[0].real.copy(),
+            rows[0].imag.copy(), fixed.real.copy(), fixed.imag.copy(),
+            re_axis, im_axis, float(t0), w)
+    if mesh is not None:
+        from .parallel.mesh import sharded_omega_grid_bordered, sweep_mesh
+        if mesh == "auto":
+            mesh = sweep_mesh(n_time=1)
+        Cre, Cim, mm = sharded_omega_grid_bordered(*args, mesh=mesh,
+                                                   a_chunk=a_chunk)
+    else:
+        Cre, Cim, mm = _omega_bordered_fn(a_chunk)(*args)
+    mm = np.asarray(mm).reshape(res, res).T
+    if return_amplitudes:
+        C = np.asarray(Cre) + 1j * np.asarray(Cim)
+        return mm, C
+    return mm
+
+
 @lru_cache(maxsize=32)
 def _modesets_spectrum_fn(sets_key, sph):
     """One jitted CPU program evaluating the padded spectrum of a whole

@@ -791,3 +791,285 @@ def sweep_events_real(times, dres, dims, wrs, wis, t0s, Ts,
 
     return jax.lax.map(one, (dres, dims, wrs, wis, t0s, Ts),
                        batch_size=chunk)
+
+
+# ---------------------------------------------------------------------------
+# Bordered free-frequency sweep: hot loop #3's shared-fixed-block structure
+# ---------------------------------------------------------------------------
+#
+# mismatch_omega_grid (reference qnmfits.py:1679-1827) appends ONE free
+# complex frequency to a fixed QNM model and scans it over a res^2 grid:
+# Jf of the Jf+1 design columns are IDENTICAL at every grid point.  The
+# spectrum-batched kernel (sweep_spectra_real) rebuilds the full Gram
+# and refactorises per point -- O(K J^2) assembly, K*J transcendentals,
+# and a J x J Cholesky each.  Here the fixed block is assembled,
+# equilibrated, floored, and inverted ONCE; each grid point then needs
+# only its free column's phases (O(K) transcendentals), one row of a
+# (Q, K) @ (K, 4Jf+4) cross-Gram matmul, and an O(Jf) bordered
+# block-elimination solve -- all batched MXU matmuls.
+#
+# Regularisation semantics mirror _equilibrated/_regularised_solve: the
+# bordered equilibrated system [[A_ff + floor*I, g~], [g~^H, 1+floor]]
+# is exactly the matrix the full path factorises (diagonal sqrt(diag)
+# scaling, machine-eps Tikhonov floor, dead-column identity rows); only
+# the solve algorithm differs (Schur complement through the explicit
+# fixed-block inverse vs one full Cholesky per point).  Two documented
+# deviations, both far below the 1e-11 parity bar on any workload the
+# tests cover: (a) the dead-column threshold uses the fixed-block max
+# diagonal rather than the per-point max including the free column (a
+# bounded factor on a ~1e-26 threshold), and (b) the Schur complement
+# is clamped at `floor` when the free column is numerically inside the
+# fixed-column span (the full path's floored Cholesky breaks the same
+# degeneracy with the same energy scale).
+
+def _omega_border_prep(times, d_re, d_im, wr, wi, t0, w):
+    """Shared fixed-block quantities for the bordered free-omega sweep.
+
+    times (K,), d (K,) single data series, wr/wi (Jf,), w (K,) binary.
+    Returns the tuple consumed by _omega_border_apply.
+    """
+    dtype = times.dtype
+    Jf = wr.shape[0]
+    tau = _trapz_weights(times, w)
+    dt = (times - t0) * w                                  # clamped: w=0 rows
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+    floor = 500.0 * (Jf + 1) * eps
+
+    E = jnp.exp(wi[None, :] * dt[:, None])
+    ph = wr[None, :] * dt[:, None]
+    P = E * jnp.cos(ph)                                    # (K, Jf)
+    Qm = -E * jnp.sin(ph)
+    Pw = P * w[:, None]
+    Qw = Qm * w[:, None]
+    Pt = P * tau[:, None]
+    Qt = Qm * tau[:, None]
+
+    Gw_re = Pw.T @ Pw + Qw.T @ Qw                          # (Jf, Jf)
+    Gw_im = Pw.T @ Qw - Qw.T @ Pw
+    Gt_re = Pt.T @ P + Qt.T @ Qm
+    Gt_im = Pt.T @ Qm - Qt.T @ P
+
+    dw_re = d_re * w
+    dw_im = d_im * w
+    rhs_re = dw_re @ Pw + dw_im @ Qw                       # (Jf,)
+    rhs_im = dw_im @ Pw - dw_re @ Qw
+    rt_re = d_re @ Pt + d_im @ Qt
+    rt_im = d_im @ Pt - d_re @ Qt
+    data_norm = jnp.sum(tau * (d_re * d_re + d_im * d_im))
+
+    # Equilibrate + dead-mask + floor the fixed block once
+    # (_equilibrated semantics).
+    eye = jnp.eye(Jf, dtype=dtype)
+    diag = jnp.diagonal(Gw_re)
+    maxdiag = jnp.max(diag) if Jf else jnp.zeros((), dtype)
+    dead = diag <= maxdiag * (1e3 * eps) ** 2
+    kk = dead[:, None] | dead[None, :]
+    Gw_re = jnp.where(kk, eye, Gw_re)
+    Gw_im = jnp.where(kk, 0.0, Gw_im)
+    rhs_re = jnp.where(dead, 0.0, rhs_re)
+    rhs_im = jnp.where(dead, 0.0, rhs_im)
+    d_s = jnp.sqrt(jnp.maximum(jnp.diagonal(Gw_re), tiny))
+    Di = 1.0 / d_s
+    A = Gw_re * Di[:, None] * Di[None, :] + floor * eye
+    B = Gw_im * Di[:, None] * Di[None, :]
+
+    # Triangular factor + its explicit inverse.  The bordered solve
+    # must go THROUGH the factor: the last elimination pivot
+    # s = (1+floor) - ||L^-1 g~||^2 cancels catastrophically when the
+    # free column nears the fixed span, and the error in the subtrahend
+    # is ~cond(L) eps = sqrt(cond(A)) eps via the triangular route vs
+    # ~cond(A) eps via a Hermitian-inverse matmul -- the overtone
+    # ladder's conditioning makes that difference observable at 1e-3.
+    from .ops.chol import complex_cholesky_factor, complex_lower_inverse
+
+    Lre, Lim = complex_cholesky_factor(A, B)
+    Linv_re, Linv_im = complex_lower_inverse(Lre, Lim)
+
+    # Forward-substituted rhs e = L^-1 (Di*rhs) and the fixed-only
+    # equilibrated solution y = L^-H e, both once.
+    rre = rhs_re * Di
+    rim = rhs_im * Di
+    e_re = Linv_re @ rre - Linv_im @ rim
+    e_im = Linv_re @ rim + Linv_im @ rre
+    y_re = Linv_re.T @ e_re + Linv_im.T @ e_im
+    y_im = Linv_re.T @ e_im - Linv_im.T @ e_re
+
+    # Cross-matmul right factor: [Pw | Qw | Pt | Qt | wd | taud].
+    Mcross = jnp.concatenate(
+        [Pw, Qw, Pt, Qt, dw_re[:, None], dw_im[:, None],
+         (d_re * tau)[:, None], (d_im * tau)[:, None]], axis=1)
+    WT = jnp.stack([w, tau], axis=1)                       # (K, 2)
+
+    return (dt, tau, w, Mcross, WT, Di, dead, maxdiag, floor,
+            Linv_re, Linv_im, e_re, e_im, y_re, y_im, rt_re, rt_im,
+            Gt_re, Gt_im, data_norm)
+
+
+def _omega_border_apply(prep, Pf, Qf, Ef2):
+    """Bordered solves + mismatch for one block of free columns.
+
+    Pf/Qf/Ef2 (Qc, K): split-complex free-column phases and their
+    squared magnitude.  Returns (Cf_re, Cf_im (Qc, Jf), c_re, c_im,
+    mm (Qc,)).
+    """
+    (dt, tau, w, Mcross, WT, Di, dead, maxdiag, floor,
+     Linv_re, Linv_im, e_re, e_im, y_re, y_im, rt_re, rt_im,
+     Gt_re, Gt_im, data_norm) = prep
+    Jf = Di.shape[0]
+    Qc = Pf.shape[0]
+    dtype = Pf.dtype
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+
+    # One (2Qc, K) @ (K, 4Jf+4) matmul for every cross quantity.
+    Z = jnp.concatenate([Pf, Qf], axis=0) @ Mcross
+    zp, zq = Z[:Qc], Z[Qc:]
+    g_re = zp[:, :Jf] + zq[:, Jf:2 * Jf]
+    g_im = zq[:, :Jf] - zp[:, Jf:2 * Jf]
+    gt_re_c = zp[:, 2 * Jf:3 * Jf] + zq[:, 3 * Jf:4 * Jf]   # tau cross
+    gt_im_c = zq[:, 2 * Jf:3 * Jf] - zp[:, 3 * Jf:4 * Jf]
+    c0 = 4 * Jf
+    bet_re = zp[:, c0] + zq[:, c0 + 1]
+    bet_im = zp[:, c0 + 1] - zq[:, c0]
+    btau_re = zp[:, c0 + 2] + zq[:, c0 + 3]
+    btau_im = zp[:, c0 + 3] - zq[:, c0 + 2]
+
+    GamT = Ef2 @ WT                                        # (Qc, 2)
+    gam = GamT[:, 0]
+    gamt = GamT[:, 1]
+
+    # Border equilibration + dead handling.
+    sf = 1.0 / jnp.sqrt(jnp.maximum(gam, tiny))
+    dead_f = gam <= maxdiag * (1e3 * eps) ** 2
+    scale = Di[None, :] * sf[:, None]
+    gte_re = jnp.where(dead[None, :], 0.0, g_re * scale)
+    gte_im = jnp.where(dead[None, :], 0.0, g_im * scale)
+
+    # u = L^-1 g~ per point (one batched matmul against the stored
+    # triangular inverse).  ||u||^2 and u^H e reproduce g~^H A^-1 g~
+    # and g~^H A^-1 r~ with ~sqrt(cond(A)) eps error instead of the
+    # cond(A) eps of a Hermitian-inverse matmul -- the difference that
+    # keeps the Schur pivot s accurate near the fixed-column span.
+    u_re = gte_re @ Linv_re.T - gte_im @ Linv_im.T
+    u_im = gte_re @ Linv_im.T + gte_im @ Linv_re.T
+    uu = jnp.sum(u_re * u_re + u_im * u_im, axis=-1)
+    s = jnp.maximum((1.0 + floor) - uu, floor)
+
+    ue_re = jnp.sum(u_re * e_re[None] + u_im * e_im[None], axis=-1)
+    ue_im = jnp.sum(u_re * e_im[None] - u_im * e_re[None], axis=-1)
+    ct_re = jnp.where(dead_f, 0.0, (bet_re * sf - ue_re) / s)
+    ct_im = jnp.where(dead_f, 0.0, (bet_im * sf - ue_im) / s)
+
+    # v = L^-H u, then C_f = (y - v c~) Di  (back substitution as a
+    # second batched matmul).
+    v_re = u_re @ Linv_re + u_im @ Linv_im
+    v_im = u_im @ Linv_re - u_re @ Linv_im
+    Cf_re = (y_re[None] - (v_re * ct_re[:, None] - v_im * ct_im[:, None])
+             ) * Di[None]
+    Cf_im = (y_im[None] - (v_re * ct_im[:, None] + v_im * ct_re[:, None])
+             ) * Di[None]
+    c_re = ct_re * sf
+    c_im = ct_im * sf
+
+    # Mismatch from the blockwise tau-weighted pieces.
+    num = (Cf_re @ rt_re + Cf_im @ rt_im
+           + c_re * btau_re + c_im * btau_im)
+    GC_re = Cf_re @ Gt_re.T - Cf_im @ Gt_im.T
+    GC_im = Cf_im @ Gt_re.T + Cf_re @ Gt_im.T
+    t_ff = jnp.sum(Cf_re * GC_re + Cf_im * GC_im, axis=-1)
+    v_re = jnp.sum(Cf_re * gt_re_c + Cf_im * gt_im_c, axis=-1)
+    v_im = jnp.sum(Cf_re * gt_im_c - Cf_im * gt_re_c, axis=-1)
+    cross = 2.0 * (v_re * c_re - v_im * c_im)
+    t_bb = (c_re * c_re + c_im * c_im) * gamt
+    model_norm = t_ff + cross + t_bb
+    mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
+    return Cf_re, Cf_im, c_re, c_im, mm
+
+
+def sweep_omega_bordered_real(times, d_re, d_im, wr, wi, wfr, wfi, t0, w,
+                              chunk: int = 512):
+    """Free complex-frequency sweep via the bordered solve (hot loop #3,
+    reference qnmfits.py:1679-1827): a LIST of free frequencies, each
+    appended to the same fixed-QNM model in the same window.
+
+    times (K,); data d = d_re + i d_im (K,) (one series -- the
+    reference surface, qnmfits.py:1715); wr/wi (Jf,) fixed frequencies;
+    wfr/wfi (Q,) free frequencies; t0 scalar; w (K,) {0,1} window.
+    Returns (Cre (Q, Jf+1), Cim (Q, Jf+1), mm (Q,)) with the free-mode
+    amplitude in the last column.
+    """
+    prep = _omega_border_prep(times, d_re, d_im, wr, wi, t0, w)
+    dt = prep[0]
+    Jf = wr.shape[0]
+
+    def one_chunk(args):
+        fr, fi = args
+        Ef = jnp.exp(fi[:, None] * dt[None, :])
+        ph = fr[:, None] * dt[None, :]
+        Pf = Ef * jnp.cos(ph)
+        Qf = -Ef * jnp.sin(ph)
+        return _omega_border_apply(prep, Pf, Qf, Ef * Ef)
+
+    Q = wfr.shape[0]
+    pad = (-Q) % chunk
+    if pad:
+        wfr = jnp.concatenate([wfr, jnp.broadcast_to(wfr[-1], (pad,))])
+        wfi = jnp.concatenate([wfi, jnp.broadcast_to(wfi[-1], (pad,))])
+    nc = wfr.shape[0] // chunk
+    Cf_re, Cf_im, c_re, c_im, mm = jax.lax.map(
+        one_chunk, (wfr.reshape(nc, chunk), wfi.reshape(nc, chunk)))
+    Qp = nc * chunk
+    Cre = jnp.concatenate([Cf_re.reshape(Qp, Jf), c_re.reshape(Qp, 1)],
+                          axis=1)
+    Cim = jnp.concatenate([Cf_im.reshape(Qp, Jf), c_im.reshape(Qp, 1)],
+                          axis=1)
+    return Cre[:Q], Cim[:Q], mm.reshape(-1)[:Q]
+
+
+def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,
+                                   im_axis, t0, w, a_chunk: int = 8):
+    """The bordered sweep on a SEPARABLE (Re omega) x (Im omega) grid.
+
+    The free column factorises: exp(-i w_q (t-t0)) =
+    e^{Im_b dt} (cos(Re_a dt) - i sin(Re_a dt)), so the per-point
+    transcendentals collapse from Q*K to (A+B)*K -- the dominant cost
+    of the general kernel on the f64-emulating TPU backend.  Grid order
+    matches meshgrid(re, im, indexing='ij').ravel(): q = a*B + b.
+
+    Returns (Cre (A*B, Jf+1), Cim, mm (A*B,)).
+    """
+    prep = _omega_border_prep(times, d_re, d_im, wr, wi, t0, w)
+    dt = prep[0]
+    Jf = wr.shape[0]
+    A = re_axis.shape[0]
+    Bn = im_axis.shape[0]
+    K = times.shape[0]
+
+    Ef = jnp.exp(im_axis[:, None] * dt[None, :])           # (B, K)
+    Ef2 = Ef * Ef
+
+    def one_a_chunk(ra):
+        ph = ra[:, None] * dt[None, :]                     # (ac, K)
+        Ca = jnp.cos(ph)
+        Sa = jnp.sin(ph)
+        Pf = (Ca[:, None, :] * Ef[None, :, :]).reshape(-1, K)
+        Qf = (-Sa[:, None, :] * Ef[None, :, :]).reshape(-1, K)
+        Ef2b = jnp.broadcast_to(Ef2[None], (ra.shape[0], Bn, K)
+                                ).reshape(-1, K)
+        return _omega_border_apply(prep, Pf, Qf, Ef2b)
+
+    pad = (-A) % a_chunk
+    if pad:
+        re_axis = jnp.concatenate(
+            [re_axis, jnp.broadcast_to(re_axis[-1], (pad,))])
+    na = re_axis.shape[0] // a_chunk
+    Cf_re, Cf_im, c_re, c_im, mm = jax.lax.map(
+        one_a_chunk, re_axis.reshape(na, a_chunk))
+    Q = A * Bn
+    Qp = na * a_chunk * Bn
+    Cre = jnp.concatenate([Cf_re.reshape(Qp, Jf), c_re.reshape(Qp, 1)],
+                          axis=1)
+    Cim = jnp.concatenate([Cf_im.reshape(Qp, Jf), c_im.reshape(Qp, 1)],
+                          axis=1)
+    return Cre[:Q], Cim[:Q], mm.reshape(-1)[:Q]

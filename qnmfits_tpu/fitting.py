@@ -300,7 +300,7 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
         precision=precision)
 
 
-def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
+def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array, *,
                           t0_method="geq", T_array=100,
                           spherical_modes=None, return_amplitudes=False,
                           mesh=None, dynamic=False, bucket=False):
@@ -384,18 +384,27 @@ def mismatch_omega_grid(times, data, modes, Mf, chif, re_minmax, im_minmax,
     """Mismatch over a complex-frequency grid for one free mode
     (reference qnmfits.py:1679-1827).
 
-    engine: 'batched' (default), 'fast' (split-complex TPU kernel),
-    'sharded' (the fast kernel, grid axis data-parallel over a device
-    mesh), or 'loop' (reference-style NumPy).
+    engine: 'batched' (default), 'fast' (the bordered fixed-block TPU
+    kernel: the shared fixed-QNM Gram block is factorised once and each
+    grid point is a cheap bordered solve), 'sharded' (the bordered
+    kernel, Re-axis data-parallel over a device mesh), 'fast-full'
+    (the per-point spectrum-batched split-complex kernel -- the
+    pre-bordered path, kept for workloads that want one code path with
+    the (Mf, chif) grid), or 'loop' (reference-style NumPy).
     """
     if engine == "loop":
         return ref_impl.mismatch_omega_grid(
             times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
             t0_method, T, res)
     if engine in ("fast", "sharded"):
-        from .batched import batch_mismatch_omega_fast
+        from .batched import batch_mismatch_omega_bordered
         if engine == "sharded" and mesh is None:
             mesh = "auto"
+        return batch_mismatch_omega_bordered(
+            times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
+            t0_method=t0_method, T=T, res=res, mesh=mesh)
+    if engine == "fast-full":
+        from .batched import batch_mismatch_omega_fast
         return batch_mismatch_omega_fast(
             times, data, modes, Mf, chif, re_minmax, im_minmax, t0,
             t0_method=t0_method, T=T, res=res, mesh=mesh)

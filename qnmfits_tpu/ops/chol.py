@@ -12,7 +12,75 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["cholesky_solve_unrolled", "complex_cholesky_solve_unrolled"]
+__all__ = ["cholesky_solve_unrolled", "complex_cholesky_solve_unrolled",
+           "complex_cholesky_factor", "complex_lower_inverse"]
+
+
+def complex_cholesky_factor(Are, Aim):
+    """Unbatched split-complex Cholesky factor: A + i Aim = L L^H.
+
+    Are/Aim (n, n) with static small n; returns (Lre, Lim) lower
+    triangular, real positive diagonal (Lim diagonal exactly zero).
+    Scalar-unrolled (n^3/6 jaxpr ops) -- a one-time prep cost for hosts
+    like the bordered free-omega sweep that factor a fixed block once
+    and then apply it to many right-hand sides as matmuls.
+    """
+    n = Are.shape[0]
+    zero = jnp.zeros((), Are.dtype)
+    Lre = [[zero] * n for _ in range(n)]
+    Lim = [[zero] * n for _ in range(n)]
+    for j in range(n):
+        s = Are[j, j]
+        for k in range(j):
+            s = s - (Lre[j][k] * Lre[j][k] + Lim[j][k] * Lim[j][k])
+        d = jnp.sqrt(s)
+        Lre[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            ar = Are[i, j]
+            ai = Aim[i, j]
+            for k in range(j):
+                # L[i,k] * conj(L[j,k]).
+                ar = ar - (Lre[i][k] * Lre[j][k] + Lim[i][k] * Lim[j][k])
+                ai = ai - (Lim[i][k] * Lre[j][k] - Lre[i][k] * Lim[j][k])
+            Lre[i][j] = ar * inv
+            Lim[i][j] = ai * inv
+    if n == 0:
+        return (jnp.zeros((0, 0), Are.dtype), jnp.zeros((0, 0), Are.dtype))
+    return (jnp.stack([jnp.stack(r) for r in Lre]),
+            jnp.stack([jnp.stack(r) for r in Lim]))
+
+
+def complex_lower_inverse(Lre, Lim):
+    """Explicit inverse of an unbatched lower-triangular complex matrix
+    (split form, real diagonal).  Forward substitution against the
+    identity, scalar-unrolled; returns (Xre, Xim) lower triangular.
+
+    Applying L^-1 (and L^-H) as matmuls to batched right-hand sides
+    keeps the per-item error at ~cond(L) * eps = sqrt(cond(A)) * eps --
+    the reason the bordered sweep stores triangular inverses rather
+    than the Hermitian inverse (whose single-matmul application costs
+    cond(A) * eps and loses the Schur-complement cancellation).
+    """
+    n = Lre.shape[0]
+    zero = jnp.zeros((), Lre.dtype)
+    Xre = [[zero] * n for _ in range(n)]
+    Xim = [[zero] * n for _ in range(n)]
+    for i in range(n):
+        inv = 1.0 / Lre[i, i]
+        for j in range(i + 1):
+            ar = jnp.ones((), Lre.dtype) if i == j else zero
+            ai = zero
+            for k in range(j, i):
+                # L[i,k] * X[k,j] (plain complex product).
+                ar = ar - (Lre[i, k] * Xre[k][j] - Lim[i, k] * Xim[k][j])
+                ai = ai - (Lre[i, k] * Xim[k][j] + Lim[i, k] * Xre[k][j])
+            Xre[i][j] = ar * inv
+            Xim[i][j] = ai * inv
+    if n == 0:
+        return (jnp.zeros((0, 0), Lre.dtype), jnp.zeros((0, 0), Lre.dtype))
+    return (jnp.stack([jnp.stack(r) for r in Xre]),
+            jnp.stack([jnp.stack(r) for r in Xim]))
 
 
 def cholesky_solve_unrolled(E, b):

@@ -215,6 +215,23 @@ def sharded_t0_sweep_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
     return Cre[:B], Cim[:B], mm[:B]
 
 
+def _clamped_chunk(t0s, wi, chunk):
+    """Apply batched._safe_chunk's |Im w|*chunk-span accuracy budget.
+
+    The public batched.* wrappers clamp before calling in here, but the
+    mesh-level kernels are also direct entry points (dryrun, tests,
+    power users); without the clamp a wide t0 span with the default
+    chunk silently loses precision in the chunk-start-referenced exp
+    factorisation.  Clamping twice is idempotent."""
+    from ..batched import _safe_chunk
+
+    t0s = np.asarray(t0s, float)
+    wi = np.asarray(wi)
+    if t0s.size == 0 or wi.size == 0:
+        return chunk
+    return _safe_chunk(t0s, float(np.max(np.abs(wi))), chunk)
+
+
 def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
                               mesh: Mesh, col_mask=None, chunk: int = 64):
     """The FAST multi-chip sweep: factored t0 kernel sharded over 'sweep'.
@@ -237,6 +254,7 @@ def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
     Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    chunk = _clamped_chunk(t0s, wi, chunk)
     t0s_p, B = _pad_to(t0s, n_sweep * chunk)
     Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
 
@@ -277,6 +295,7 @@ def sharded_t0_sweep_modesets_factored(times, dre, dim, wrs, wis, mres,
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
     Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    chunk = _clamped_chunk(t0s, wis, chunk)
     t0s_p, B = _pad_to(t0s, n_sweep * chunk)
     Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
 
@@ -412,6 +431,44 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
     return Cre[:Q], Cim[:Q], mm[:Q]
 
 
+def sharded_omega_grid_bordered(times, d_re, d_im, wr, wi, re_axis,
+                                im_axis, t0, w, mesh: Mesh,
+                                a_chunk: int = 8):
+    """Bordered free-frequency grid sharded over 'sweep': the Re axis is
+    data-parallel across devices; the shared fixed-block prep (one small
+    factorisation) is recomputed per device -- far cheaper than
+    broadcasting it (reference qnmfits.py:1679-1827 at multi-chip
+    scale).
+
+    times/w (K,), d_re/d_im (K,), wr/wi (Jf,) replicated; re_axis (A,)
+    sharded, im_axis (B,) replicated.  Returns (Cre (A*B, Jf+1),
+    Cim, mm (A*B,)) in q = a*B + b order, a-major like the unsharded
+    kernel.
+    """
+    from ..engine_real import sweep_omega_grid_bordered_real
+
+    n_sweep = mesh.shape["sweep"]
+    re_p, A = _pad_to(np.asarray(re_axis), n_sweep)
+    Bn = np.asarray(im_axis).shape[0]
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("sweep"), P(), P()),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, dre_, dim_, wr_, wi_, re_loc, im_, w_):
+        return sweep_omega_grid_bordered_real(times_, dre_, dim_, wr_,
+                                              wi_, re_loc, im_, t0, w_,
+                                              a_chunk=a_chunk)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(d_re), np.asarray(d_im),
+        np.asarray(wr), np.asarray(wi), re_p, np.asarray(im_axis),
+        np.asarray(w))
+    Q = A * Bn
+    return Cre[:Q], Cim[:Q], mm[:Q]
+
+
 def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
                         mesh: Mesh, chunk: int = 64):
     """Per-event fit batch sharded over 'sweep': catalog-population DP
@@ -482,6 +539,7 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
     Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    chunk = _clamped_chunk(t0s, wi, chunk)
     t0s_p, B = _pad_to(t0s, n_sweep * chunk)
     Ts_p, _ = _pad_to(Ts, n_sweep * chunk)
 

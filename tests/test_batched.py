@@ -672,3 +672,85 @@ class TestEventBatch:
                                            engine="fast")
         np.testing.assert_allclose(mm1, mm0, rtol=0, atol=1e-11)
         np.testing.assert_allclose(C1, C0, rtol=0, atol=1e-8)
+
+
+class TestOmegaBordered:
+    """Bordered fixed-block free-frequency kernel (hot loop #3): the
+    shared fixed-QNM Gram is factorised once per window; every grid
+    point is a bordered block-elimination solve."""
+
+    def test_matches_batched(self, syn):
+        kw = dict(t0=5.0, T=80.0, res=6)
+        mm_f = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05), **kw)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_no_fixed_modes(self, syn):
+        mm_f = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], [], None, None,
+            (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0, res=5)
+        mm_l = ref_impl.mismatch_omega_grid(
+            syn["times"], syn["data"], [], None, None,
+            (0.3, 0.8), (-0.4, -0.05), t0=5.0, T=80.0, res=5)
+        np.testing.assert_allclose(mm_f, mm_l, rtol=0, atol=1e-11)
+
+    def test_deep_ladder_conditioning(self):
+        """The triangular-factor route survives a 7-overtone fixed block
+        whose Gram is severely ill-conditioned (an explicit
+        Hermitian-inverse Schur solve loses ~cond(A) eps and was
+        measured 0.91 wrong here)."""
+        from qnmfits_tpu.testing import synthetic_single
+
+        syn = synthetic_single(
+            modes=[(2, 2, n, 1) for n in range(7)], noise=1e-8, seed=3)
+        kw = dict(t0=10.0, T=100.0, res=5)
+        box = ((0.1, 1.2), (-0.45, -0.01))
+        mm_f = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], *box, **kw)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], *box, **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_closest_method_and_ragged_chunk(self, syn):
+        """t0_method='closest' plus a grid that does not divide the
+        a_chunk (padding trimmed exactly)."""
+        kw = dict(t0=5.03, T=80.0, res=5, t0_method="closest")
+        mm_f = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], syn["modes"][:1],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05),
+            a_chunk=3, **kw)
+        mm_b = batched.batch_mismatch_omega(
+            syn["times"], syn["data"], syn["modes"][:1],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
+    def test_amplitudes_match_lstsq(self, syn):
+        """return_amplitudes: the bordered coefficients equal the
+        normal-equation solution of the full design (lstsq oracle)."""
+        res = 3
+        re_minmax, im_minmax = (0.35, 0.75), (-0.3, -0.08)
+        t0, T = 5.0, 80.0
+        mm, C = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], syn["modes"][:2], syn["Mf"],
+            syn["chif"], re_minmax, im_minmax, t0=t0, T=T, res=res,
+            return_amplitudes=True)
+        from qnmfits_tpu.ref_impl import get_qnm, mask_times
+        fixed = np.array(get_qnm().omega_list(syn["modes"][:2],
+                                              syn["chif"], syn["Mf"]))
+        idx = mask_times(syn["times"], t0, T, "geq")
+        tm = syn["times"][idx]
+        dm = syn["data"][idx]
+        re_axis = np.linspace(*re_minmax, res)
+        im_axis = np.linspace(*im_minmax, res)
+        for q in range(res * res):
+            wf = re_axis[q // res] + 1j * im_axis[q % res]
+            a = np.exp(-1j * np.concatenate([fixed, [wf]])[None, :]
+                       * (tm - t0)[:, None])
+            C_ref, *_ = np.linalg.lstsq(a, dm, rcond=None)
+            np.testing.assert_allclose(C[q], C_ref, rtol=0, atol=1e-8)
