@@ -130,35 +130,33 @@ def Qmu_C(indices, chif, l_max=None, method="coefficients", n_quad=64,
     """QQNM mixing prediction C: overlap of the combined-frequency
     spheroidal harmonic with the spherical harmonic (reference :802-849).
 
-    method='coefficients' reads the overlap directly from the spheroidal's
-    sYlm expansion (exact orthonormality -- replaces scipy dblquad);
-    method='quadrature' integrates on a Gauss-Legendre x trapezoid sky
-    grid (cross-check path).
+    method='coefficients' (default) reads the overlap directly from the
+    spheroidal's sYlm expansion (exact orthonormality -- replaces scipy
+    dblquad) via the batched eigensolve engine
+    (spatial_engine.eval_qmu_c): chif may be a scalar or an array,
+    matching the compiled A/B/D surfaces.  method='quadrature'
+    integrates on a Gauss-Legendre x trapezoid sky grid (scalar-chif
+    cross-check path).
     """
+    if method == "coefficients":
+        from .spatial_engine import eval_qmu_c
+        return list(eval_qmu_c(indices, chif))
     q = get_qnm()
     out = []
     for (i, j, a, b, c, sign1, e, f, g, sign2) in indices:
         L, M = a + e, b + f
         [omega] = q.omega_list([(a, b, c, sign1, e, f, g, sign2)], chif, 1)
         gamma = chif * omega
-        if method == "coefficients":
-            if j != M:
-                out.append(0.0 + 0.0j)
-                continue
-            l0, C = spheroidal_coefficients(-2, L, M, gamma)
-            k = i - l0
-            out.append(C[k] if 0 <= k < len(C) else 0.0 + 0.0j)
-        else:
-            from numpy.polynomial.legendre import leggauss
-            x, wx = leggauss(n_quad)
-            theta = np.arccos(x)
-            phi = np.linspace(0, 2 * np.pi, 2 * n_quad, endpoint=False)
-            TH, PH = np.meshgrid(theta, phi, indexing="ij")
-            S = spheroidal_harmonic(-2, L, M, gamma)
-            integrand = S(TH, PH) * np.conj(sYlm(-2, i, j, TH, PH))
-            val = np.einsum("tp,t->", integrand, wx) \
-                * (2 * np.pi / len(phi))
-            out.append(val)
+        from numpy.polynomial.legendre import leggauss
+        x, wx = leggauss(n_quad)
+        theta = np.arccos(x)
+        phi = np.linspace(0, 2 * np.pi, 2 * n_quad, endpoint=False)
+        TH, PH = np.meshgrid(theta, phi, indexing="ij")
+        S = spheroidal_harmonic(-2, L, M, gamma)
+        integrand = S(TH, PH) * np.conj(sYlm(-2, i, j, TH, PH))
+        val = np.einsum("tp,t->", integrand, wx) \
+            * (2 * np.pi / len(phi))
+        out.append(val)
     return out
 
 
@@ -270,12 +268,19 @@ def spatial_prediction_quadratic(theta, phi, map, l_max, chif, Qmu,
 
 def spatial_prediction_C(theta, phi, map, chif):
     """QQNM sky pattern from the combined-frequency spheroidal harmonic
-    (reference :414-449)."""
+    (reference :414-449), evaluated as ONE stacked-harmonic contraction
+    (spatial_engine.sky_sum over the spheroidal's sYlm expansion)
+    instead of a pointwise Python coefficient sum."""
+    from .spatial_engine import sky_sum, spheroidal_coeffs_batched
+
     a, b, c, sign1, e, f, g, sign2 = map
     L, j = a + e, b + f
     [omega] = get_qnm().omega_list([tuple(map)], chif, 1)
-    S = spheroidal_harmonic(-2, L, j, chif * omega)
-    ans = S(theta, phi)
+    l0s, C = spheroidal_coeffs_batched(-2, [L], [j], [chif * omega])
+    # Same negligible-coefficient cut as spheroidal_harmonic's closure.
+    keep = np.abs(C[0]) > 1e-14
+    lm = [(int(l0s[0]) + k, j) for k in np.where(keep)[0]]
+    ans = sky_sum(-2, lm, C[0][keep], theta, phi)
     return ans / np.max(np.abs(ans))
 
 

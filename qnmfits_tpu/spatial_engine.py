@@ -35,7 +35,8 @@ from .harmonics import sYlm
 from .spectrum.tables import eval_spline_np
 
 __all__ = [
-    "compile_qmu", "eval_qmu", "sky_sum", "mapping_design",
+    "compile_qmu", "eval_qmu", "eval_qmu_c",
+    "spheroidal_coeffs_batched", "sky_sum", "mapping_design",
     "mapping_mismatch_t0_array",
 ]
 
@@ -146,8 +147,11 @@ class QmuCompiled:
                 else np.zeros((0, len(np.atleast_1d(chif))), complex)
         # Same off-grid-spin rejection as the mu_np path the loop oracle
         # went through: cubic extrapolation past the table edge is
-        # silently unphysical.
+        # silently unphysical.  Check BOTH factors' tables: s1 and s2
+        # tables currently ship identical chi grids, but the guard must
+        # survive a future rebuild where they differ.
         self.f1.tables._check_chif(chif)
+        self.f2.tables._check_chif(chif)
         mu1 = self.f1.eval(chif)
         mu2 = self.f2.eval(chif)
         if mu1.ndim == 3:
@@ -187,6 +191,90 @@ def sky_sum(s: int, lm_list, amps, theta, phi):
     spatial_mapping_functions.py:286-411)."""
     Y = sky_matrix(s, lm_list, theta, phi)
     return Y @ np.asarray(amps, complex)
+
+
+# ---------------------------------------------------------------------------
+# Batched spheroidal expansions: the compiled Qmu_C path
+# ---------------------------------------------------------------------------
+
+def spheroidal_coeffs_batched(s, Ls, Ms, gammas, nl=30):
+    """sYlm expansion coefficients of S_{s,L,M}(gamma) for a whole batch.
+
+    Ls/Ms (B,) ints, gammas (B,) complex.  The angular matrices are
+    stacked and eigen-decomposed in ONE ``np.linalg.eig`` call (the
+    matrix build is cheap; eig dominates -- same trade as
+    spectrum.solver._batched_angular_eig); selection and normalisation
+    reproduce ``spectrum.angular.mode_eigensystem`` exactly at equal
+    ``nl`` (sorted-by-real-part eigenvalue pick, diagonal-component
+    real-positive phase, unit norm).  Returns (l0s (B,), C (B, nl)).
+    """
+    from .spectrum.angular import angular_matrix, lmin
+
+    Ls = np.asarray(Ls, int)
+    Ms = np.asarray(Ms, int)
+    gammas = np.asarray(gammas, complex)
+    B = gammas.shape[0]
+    l0s = np.array([lmin(s, int(m)) for m in Ms])
+    kidx = Ls - l0s
+    if np.any(kidx >= nl) or np.any(kidx < 0):
+        raise ValueError("nl too small for requested (L, M)")
+    mats = np.empty((B, nl, nl), complex)
+    for b in range(B):
+        mats[b] = angular_matrix(s, int(Ms[b]), gammas[b], nl)
+    A_all, C_all = np.linalg.eig(mats)
+    rows = np.arange(B)
+    order = np.argsort(A_all.real, axis=1)
+    k = order[rows, kidx]
+    C = C_all[rows, :, k]                                  # (B, nl)
+    diag = C[rows, kidx]
+    phase = np.where(diag != 0,
+                     np.abs(diag) / np.where(diag == 0, 1.0, diag), 1.0)
+    C = C * phase[:, None]
+    C = C / np.sqrt(np.sum(np.abs(C) ** 2, axis=1))[:, None]
+    return l0s, C
+
+
+def eval_qmu_c(indices, chif, nl=30):
+    """Vectorised Qmu_C (reference spatial_mapping_functions.py:802-849):
+    the overlap <sYlm(i,j) | S_{L,M}(chif * omega_quad)> read off the
+    spheroidal's sYlm expansion, batched over (index, chif).
+
+    chif scalar -> (N,) complex array; chif (Q,) -> (N, Q).  One
+    stacked eigensolve replaces the reference's per-index
+    ``spheroidal.harmonic`` + scipy dblquad (and the pre-round-4
+    per-index ``mode_eigensystem`` loop); array chif matches the
+    compiled A/B/D engines' surface.
+    """
+    from .ref_impl import get_qnm
+
+    scalar = np.ndim(chif) == 0
+    chif_arr = np.atleast_1d(np.asarray(chif, float))
+    Q = chif_arr.shape[0]
+    N = len(indices)
+    out = np.zeros((N, Q), complex)
+    if N == 0:
+        return out[:, 0] if scalar else out
+
+    idx_arr = np.asarray([tuple(int(x) for x in idx) for idx in indices])
+    omg = np.asarray(get_qnm().omega_list(
+        [tuple(row) for row in idx_arr[:, 2:10]], chif_arr, 1))  # (N, Q)
+    gam = chif_arr[None, :] * omg
+
+    i_, j_ = idx_arr[:, 0], idx_arr[:, 1]
+    Ls = idx_arr[:, 2] + idx_arr[:, 6]
+    Ms = idx_arr[:, 3] + idx_arr[:, 7]
+    live = j_ == Ms                                        # else exactly 0
+    if not np.any(live):
+        return out[:, 0] if scalar else out
+
+    nn, qq = np.meshgrid(np.where(live)[0], np.arange(Q), indexing="ij")
+    nn, qq = nn.ravel(), qq.ravel()
+    l0s, C = spheroidal_coeffs_batched(-2, Ls[nn], Ms[nn],
+                                       gam[nn, qq], nl=nl)
+    comp = i_[nn] - l0s
+    ok = (comp >= 0) & (comp < nl)
+    out[nn[ok], qq[ok]] = C[np.arange(len(nn))[ok], comp[ok]]
+    return out[:, 0] if scalar else out
 
 
 # ---------------------------------------------------------------------------

@@ -350,3 +350,63 @@ def test_spatial_prediction_quadratic_with_Qmu_D():
     # D reweights rows by sqrt((i+4)(i-3)(i+3)(i-2)): the normalised
     # patterns must differ.
     assert np.max(np.abs(pat_a - pat_d)) > 1e-3
+
+
+class TestQmuCBatched:
+    """Compiled Qmu_C engine (spatial_engine.eval_qmu_c): one stacked
+    eigensolve, array-chif support matching A/B/D."""
+
+    IDX = [(2, 4, 2, 2, 0, 1, 2, 2, 0, 1),
+           (4, 4, 2, 2, 0, 1, 2, 2, 0, 1),
+           (5, 4, 2, 2, 0, 1, 2, 2, 0, 1),
+           (4, 3, 2, 2, 0, 1, 2, 2, 0, 1)]   # j != b+f -> exact zero
+
+    def test_array_chif_matches_scalar(self):
+        chifs = np.array([0.1, 0.45, 0.7])
+        rows = spatial.Qmu_C(self.IDX, chifs)
+        assert rows[0].shape == (3,)
+        for q, c in enumerate(chifs):
+            sc = spatial.Qmu_C(self.IDX, float(c))
+            np.testing.assert_allclose([row[q] for row in rows], sc,
+                                       rtol=0, atol=1e-13)
+
+    def test_j_mismatch_row_is_zero(self):
+        out = spatial.Qmu_C(self.IDX, 0.68)
+        assert out[3] == 0.0
+        rows = spatial.Qmu_C(self.IDX, np.array([0.2, 0.68]))
+        np.testing.assert_array_equal(rows[3], 0.0)
+
+    def test_matches_per_index_eigensolve(self):
+        """Batched selection == the scalar mode_eigensystem read that
+        backed the pre-round-4 loop."""
+        from qnmfits_tpu.spatial import spheroidal_coefficients
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        chif = 0.68
+        for (i, j, a, b, c, p1, e, f, g, p2) in self.IDX[:3]:
+            L, M = a + e, b + f
+            [omega] = get_qnm().omega_list([(a, b, c, p1, e, f, g, p2)],
+                                           chif, 1)
+            l0, C = spheroidal_coefficients(-2, L, M, chif * omega)
+            expect = C[i - l0] if 0 <= i - l0 < len(C) else 0.0
+            got = spatial.Qmu_C([(i, j, a, b, c, p1, e, f, g, p2)],
+                                chif)[0]
+            np.testing.assert_allclose(got, expect, rtol=0, atol=1e-13)
+
+
+def test_spatial_prediction_C_matches_pointwise_closure():
+    """sky_sum contraction == the spheroidal_harmonic pointwise sum."""
+    from qnmfits_tpu.spatial import spheroidal_harmonic
+    from qnmfits_tpu.ref_impl import get_qnm
+
+    mp = (2, 2, 0, 1, 2, 2, 0, 1)
+    chif = 0.68
+    theta, phi = np.meshgrid(np.linspace(0.1, np.pi - 0.1, 7),
+                             np.linspace(0.0, 2 * np.pi, 9),
+                             indexing="ij")
+    got = spatial.spatial_prediction_C(theta, phi, mp, chif)
+    [omega] = get_qnm().omega_list([mp], chif, 1)
+    S = spheroidal_harmonic(-2, 4, 4, chif * omega)
+    ans = S(theta, phi)
+    expect = ans / np.max(np.abs(ans))
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
