@@ -871,7 +871,7 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
                                        t0_array, t0_method="geq",
                                        T_array=100, spherical_modes=None,
                                        return_amplitudes=False,
-                                       precision="x64"):
+                                       precision="x64", mesh=None):
     """Mode-set t0 sweep with a TIME-DEPENDENT spectrum (Mf(t), chif(t)
     tracks of length K): every (mode set, start time) dynamic fit in one
     jitted program (previously only per-set batch_mismatch_t0_dynamic
@@ -880,6 +880,10 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
     Mf/chif: scalars or (K,) arrays (time tracks -- NOT a remnant axis;
     that is batch_mismatch_t0_modesets).  Returns mm (S, B); with
     return_amplitudes=True also a list of S (B, len(set)) arrays.
+    Pass ``mesh`` (or 'auto') to shard the start-time axis over a
+    device mesh: the spectrum tracks are t0-independent and replicate,
+    so the sweep is pure window-DP on the split-complex dynamic kernel
+    (same layout as the static mode-set sweep).
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
@@ -903,6 +907,22 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
         omegas_j, mus_j = sfn(chif_t, Mf_t)
         omegas_t = np.asarray(omegas_j)
         mus_t = np.asarray(mus_j)
+
+    if mesh is not None:
+        from .parallel.mesh import (
+            sharded_t0_sweep_modesets_dynamic, sweep_mesh)
+        if mesh == "auto":
+            mesh = sweep_mesh(n_time=1)
+        Cre, Cim, mm = sharded_t0_sweep_modesets_dynamic(
+            times, rows.real.copy(), rows.imag.copy(),
+            omegas_t.real.copy(), omegas_t.imag.copy(),
+            mus_t.real.copy(), mus_t.imag.copy(), t0s, Ts, masks,
+            mesh=mesh, t0_method=t0_method)
+        mm = np.asarray(mm)
+        if not return_amplitudes:
+            return mm
+        C = np.asarray(Cre) + 1j * np.asarray(Cim)
+        return mm, [C[si, :, :len(ms)] for si, ms in enumerate(sets)]
 
     fn = _t0_sweep_modesets_dynamic_fn(t0_method, precision)
     dev = _device_for(precision)

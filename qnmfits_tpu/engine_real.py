@@ -242,7 +242,8 @@ def sweep_t0_modesets_real(times, dre, dim, wrs, wis, mres, mims, t0s, Ts,
                        batch_size=1)
 
 
-def dynamic_fit_core_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t, t0, w):
+def dynamic_fit_core_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t, t0, w,
+                          col_mask=None):
     """Time-dependent-spectrum fit, all-real arithmetic.
 
     Split-complex mirror of engine.dynamic_fit_core (reference design
@@ -250,7 +251,10 @@ def dynamic_fit_core_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t, t0, w):
     qnmfits.py:438-444, 863-864): wr_t/wi_t (K, J), mre_t/mim_t (I, K, J),
     data (I, K), w (K,) {0,1}.  The per-sample mixing cannot be factored
     out of the design matrix, so the Gram contracts over the flattened
-    (I*K) axis.  Returns (Cre (J,), Cim (J,), mm).
+    (I*K) axis.  col_mask (J,) bool marks live columns for padded
+    mode-set batching (dead columns become identity Gram rows with
+    exactly-zero amplitudes, as in fit_core_real).  Returns
+    (Cre (J,), Cim (J,), mm).
     """
     tau = _trapz_weights(times, w)
     dt = (times - t0) * w                                   # (K,)
@@ -272,6 +276,16 @@ def dynamic_fit_core_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t, t0, w):
     dw_im = (dim * w[None, :]).reshape(I * K)
     rhs_re = Ewre.T @ dw_re + Ewim.T @ dw_im
     rhs_im = Ewre.T @ dw_im - Ewim.T @ dw_re
+
+    if col_mask is not None:
+        keep = jnp.asarray(col_mask)
+        kk = keep[:, None] & keep[None, :]
+        eye = jnp.eye(G_re.shape[-1], dtype=G_re.dtype)
+        G_re = jnp.where(kk, G_re, eye)
+        G_im = jnp.where(kk, G_im, 0.0)
+        rhs_re = jnp.where(keep, rhs_re, 0.0)
+        rhs_im = jnp.where(keep, rhs_im, 0.0)
+
     Cre, Cim = _embedded_solve(G_re, G_im, rhs_re, rhs_im)
 
     tcol = tau[None, :, None]
@@ -314,6 +328,38 @@ def sweep_t0_dynamic_real(times, dre, dim, wr_t, wi_t, mre_t, mim_t,
                                      mre_t, mim_t, t0, w)
 
     return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+
+def sweep_t0_modesets_dynamic_real(times, dre, dim, wr_ts, wi_ts, mre_ts,
+                                   mim_ts, t0s, Ts, col_masks,
+                                   t0_method: str = "geq",
+                                   chunk: int = 32):
+    """t0 x mode-set sweep with TIME-DEPENDENT spectra, all-real: the
+    split-complex mirror of batched._t0_sweep_modesets_dynamic_fn (the
+    reference loop qnmfits.py:1286-1299 x sets with (Mf(t), chif(t))
+    tracks) -- TPU-safe, so it can shard over a device mesh.
+
+    wr_ts/wi_ts (S, K, J); mre_ts/mim_ts (S, I, K, J); col_masks (S, J).
+    Returns (Cre (S, B, J), Cim (S, B, J), mm (S, B)).
+    """
+    from .ops.windows import window_closest, window_geq
+
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def per_set(args):
+        wr_t, wi_t, mre_t, mim_t, mask = args
+
+        def one(targs):
+            t0, T = targs
+            w = window(times, t0, T).astype(times.dtype)
+            return dynamic_fit_core_real(times, dre, dim, wr_t, wi_t,
+                                         mre_t, mim_t, t0, w,
+                                         col_mask=mask)
+
+        return jax.lax.map(one, (t0s, Ts), batch_size=chunk)
+
+    return jax.lax.map(per_set, (wr_ts, wi_ts, mre_ts, mim_ts, col_masks),
+                       batch_size=1)
 
 
 def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,

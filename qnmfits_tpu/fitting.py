@@ -324,13 +324,12 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array, *,
     mm (S, B), or (S, R, B) with a remnant axis; with
     return_amplitudes=True also a list of per-set complex
     (B, len(mode_set)) (or (R, B, len)) amplitude arrays.  Pass
-    mesh='auto' (or an explicit Mesh) to shard over devices
-    (t0_method='geq', static spectrum).
+    mesh='auto' (or an explicit Mesh) to shard the start-time axis over
+    devices (static spectrum needs t0_method='geq'; dynamic=True shards
+    with either window method -- the tracks replicate and the sweep is
+    pure window-DP).
     """
     if dynamic:
-        if mesh is not None:
-            raise ValueError("mesh sharding of the dynamic mode-set "
-                             "sweep is not supported")
         if bucket:
             raise ValueError("bucket=True is not supported for the "
                              "dynamic mode-set sweep")
@@ -339,7 +338,7 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array, *,
             times, data, mode_sets, Mf, chif, t0_array,
             t0_method=t0_method, T_array=T_array,
             spherical_modes=spherical_modes,
-            return_amplitudes=return_amplitudes)
+            return_amplitudes=return_amplitudes, mesh=mesh)
     from .batched import batch_mismatch_t0_modesets
     return batch_mismatch_t0_modesets(
         times, data, mode_sets, Mf, chif, t0_array, t0_method=t0_method,

@@ -469,6 +469,48 @@ def sharded_omega_grid_bordered(times, d_re, d_im, wr, wi, re_axis,
     return Cre[:Q], Cim[:Q], mm[:Q]
 
 
+def sharded_t0_sweep_modesets_dynamic(times, dre, dim, wr_ts, wi_ts,
+                                      mre_ts, mim_ts, t0s, Ts, col_masks,
+                                      mesh: Mesh, t0_method: str = "geq",
+                                      chunk: int = 16):
+    """Dynamic-spectrum (set x t0) sweep sharded over 'sweep': the
+    start-time axis is pure DP over windows (the spectrum TRACKS are
+    host-evaluated and replicated -- omega(t)/mu(t) do not depend on
+    t0), so the multi-chip layout is identical to the static mode-set
+    sweep's; only the per-window kernel differs (dynamic_fit_core_real,
+    whose per-sample mixing cannot be factored).  Reference loop:
+    qnmfits.py:1286-1299 x sets with (Mf(t), chif(t)) tracks.
+
+    wr_ts/wi_ts (S, K, J), mre_ts/mim_ts (S, I, K, J) replicated;
+    t0s/Ts (B,) sharded.  Returns (Cre (S, B, J), Cim, mm (S, B)).
+    """
+    from ..engine_real import sweep_t0_modesets_dynamic_real
+
+    n_sweep = mesh.shape["sweep"]
+    t0s = np.asarray(t0s)
+    Ts = np.broadcast_to(np.asarray(Ts), t0s.shape)
+    t0s_p, B = _pad_to(t0s, n_sweep)
+    Ts_p, _ = _pad_to(Ts, n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("sweep"),
+                  P("sweep"), P()),
+        out_specs=(P(None, "sweep"), P(None, "sweep"), P(None, "sweep")),
+    )
+    def run(times_, dre_, dim_, wrt_, wit_, mret_, mimt_, t0_loc, T_loc,
+            masks_):
+        return sweep_t0_modesets_dynamic_real(
+            times_, dre_, dim_, wrt_, wit_, mret_, mimt_, t0_loc, T_loc,
+            masks_, t0_method=t0_method, chunk=chunk)
+
+    Cre, Cim, mm = jax.jit(run)(
+        np.asarray(times), np.asarray(dre), np.asarray(dim),
+        np.asarray(wr_ts), np.asarray(wi_ts), np.asarray(mre_ts),
+        np.asarray(mim_ts), t0s_p, Ts_p, np.asarray(col_masks))
+    return Cre[:, :B], Cim[:, :B], mm[:, :B]
+
+
 def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
                         mesh: Mesh, chunk: int = 64):
     """Per-event fit batch sharded over 'sweep': catalog-population DP

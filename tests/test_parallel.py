@@ -277,3 +277,34 @@ def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
         times, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh, chunk=4)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref),
                                rtol=0, atol=1e-10)
+
+
+def test_public_modesets_dynamic_mesh_matches_unsharded(cpu_devices):
+    """mismatch_t0_mode_sets(dynamic=True, mesh=...) == mesh=None: the
+    dynamic (set x t0) sweep is pure window-DP (the spectrum tracks
+    replicate), sharded on the split-complex dynamic kernel."""
+    from qnmfits_tpu.fitting import mismatch_t0_mode_sets
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=1e-6, seed=17)
+    K = len(syn["times"])
+    Mf_t = syn["Mf"] * (1.0 + 0.02 * np.tanh(syn["times"] / 20.0))
+    chif_t = np.clip(syn["chif"] * (1.0 - 0.03 *
+                                    np.exp(-syn["times"] / 30.0)),
+                     0.0, 0.99)
+    assert Mf_t.shape == (K,)
+    mode_sets = [[(2, 2, n, 1) for n in range(nmax)] for nmax in (1, 3)]
+    t0s = np.linspace(0.0, 16.0, 10)          # 10 % 8 != 0: pad+trim
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    mm_m, C_m = mismatch_t0_mode_sets(
+        syn["times"], syn["data"], mode_sets, Mf_t, chif_t, t0s,
+        T_array=70.0, dynamic=True, mesh=mesh, return_amplitudes=True)
+    mm_1, C_1 = mismatch_t0_mode_sets(
+        syn["times"], syn["data"], mode_sets, Mf_t, chif_t, t0s,
+        T_array=70.0, dynamic=True, return_amplitudes=True)
+    np.testing.assert_allclose(mm_m, mm_1, rtol=0, atol=1e-11)
+    for a, b in zip(C_m, C_1):
+        assert a.shape == b.shape              # ragged sets trimmed alike
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
