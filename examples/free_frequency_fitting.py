@@ -26,10 +26,12 @@ w220 = freqs[0]
 t0s = np.linspace(0.0, 30.0, 50)
 ws = qf.free_frequency_fit_array(times, h22, t0s)
 
-print("t0    omega_free                |err vs omega_220|")
-for t0 in (0.0, 5.0, 10.0, 20.0, 30.0):
-    w = ws[np.argmin(np.abs(t0s - t0))]
-    print(f"{t0:4.0f}  {w:.6f}   {abs(w - w220):.2e}")
+print("t0     omega_free                |err vs omega_220|")
+for t0_want in (0.0, 5.0, 10.0, 20.0, 30.0):
+    i = int(np.argmin(np.abs(t0s - t0_want)))
+    # label rows with the ACTUAL grid t0 (linspace step ~0.612, so the
+    # nearest point to e.g. 5 is t0~4.90)
+    print(f"{t0s[i]:5.2f}  {ws[i]:.6f}   {abs(ws[i] - w220):.2e}")
 # At late start times the overtones have decayed and the free frequency
 # converges to omega_220.
 
