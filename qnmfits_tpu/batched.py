@@ -482,6 +482,24 @@ def batch_mismatch_M_chi_fast(times, data, modes, Mf_minmax, chif_minmax,
     return mm.reshape(res, res)
 
 
+def _omega_fixed_prep(modes, Mf, chif, times, t0, T, t0_method):
+    """Fixed-QNM frequencies and {0,1} window shared by the
+    free-frequency grid kernels.  None defaults mirror
+    batch_mismatch_omega (Mf=1, chif=0)."""
+    if modes:
+        ev = SpectrumEvaluator(list(_canon(modes)))
+        with _on_host():
+            fixed = np.asarray(ev.omega(
+                float(chif) if chif is not None else 0.0,
+                float(Mf) if Mf is not None else 1.0))
+    else:
+        fixed = np.zeros((0,), complex)
+    window = window_geq if t0_method == "geq" else window_closest
+    with _on_host():
+        w = np.asarray(window(times, float(t0), float(T)), float)
+    return fixed, w
+
+
 def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
                               im_minmax, t0, t0_method="geq", T=100,
                               res=50, chunk=64, mesh=None):
@@ -495,23 +513,12 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     RE, IM = np.meshgrid(re, im, indexing="ij")
     wf = (RE + 1j * IM).ravel()
 
-    if modes:
-        # None defaults mirror batch_mismatch_omega (Mf=1, chif=0).
-        ev = SpectrumEvaluator(list(_canon(modes)))
-        with _on_host():
-            fixed = np.asarray(ev.omega(
-                float(chif) if chif is not None else 0.0,
-                float(Mf) if Mf is not None else 1.0))
-    else:
-        fixed = np.zeros((0,), complex)
+    fixed, w = _omega_fixed_prep(modes, Mf, chif, times, t0, T, t0_method)
     Q = wf.shape[0]
     omegas = np.concatenate(
         [np.broadcast_to(fixed, (Q, fixed.shape[0])), wf[:, None]], axis=1)
     mus = np.ones((Q, 1, omegas.shape[1]), complex)
 
-    window = window_geq if t0_method == "geq" else window_closest
-    with _on_host():
-        w = np.asarray(window(times, float(t0), float(T)), float)
     _, mm = _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
                                mesh=mesh)
     return mm.reshape(res, res).T
@@ -546,18 +553,7 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
     re_axis = np.linspace(*re_minmax, res)
     im_axis = np.linspace(*im_minmax, res)
 
-    if modes:
-        ev = SpectrumEvaluator(list(_canon(modes)))
-        with _on_host():
-            fixed = np.asarray(ev.omega(
-                float(chif) if chif is not None else 0.0,
-                float(Mf) if Mf is not None else 1.0))
-    else:
-        fixed = np.zeros((0,), complex)
-
-    window = window_geq if t0_method == "geq" else window_closest
-    with _on_host():
-        w = np.asarray(window(times, float(t0), float(T)), float)
+    fixed, w = _omega_fixed_prep(modes, Mf, chif, times, t0, T, t0_method)
 
     args = (np.asarray(times, float), rows[0].real.copy(),
             rows[0].imag.copy(), fixed.real.copy(), fixed.imag.copy(),

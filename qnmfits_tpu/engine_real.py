@@ -1024,53 +1024,13 @@ def _omega_border_apply(prep, Pf, Qf, Ef2):
     GC_re = Cf_re @ Gt_re.T - Cf_im @ Gt_im.T
     GC_im = Cf_im @ Gt_re.T + Cf_re @ Gt_im.T
     t_ff = jnp.sum(Cf_re * GC_re + Cf_im * GC_im, axis=-1)
-    v_re = jnp.sum(Cf_re * gt_re_c + Cf_im * gt_im_c, axis=-1)
-    v_im = jnp.sum(Cf_re * gt_im_c - Cf_im * gt_re_c, axis=-1)
-    cross = 2.0 * (v_re * c_re - v_im * c_im)
+    cross_re = jnp.sum(Cf_re * gt_re_c + Cf_im * gt_im_c, axis=-1)
+    cross_im = jnp.sum(Cf_re * gt_im_c - Cf_im * gt_re_c, axis=-1)
+    cross = 2.0 * (cross_re * c_re - cross_im * c_im)
     t_bb = (c_re * c_re + c_im * c_im) * gamt
     model_norm = t_ff + cross + t_bb
     mm = 1.0 - num / jnp.sqrt(model_norm * data_norm)
     return Cf_re, Cf_im, c_re, c_im, mm
-
-
-def sweep_omega_bordered_real(times, d_re, d_im, wr, wi, wfr, wfi, t0, w,
-                              chunk: int = 512):
-    """Free complex-frequency sweep via the bordered solve (hot loop #3,
-    reference qnmfits.py:1679-1827): a LIST of free frequencies, each
-    appended to the same fixed-QNM model in the same window.
-
-    times (K,); data d = d_re + i d_im (K,) (one series -- the
-    reference surface, qnmfits.py:1715); wr/wi (Jf,) fixed frequencies;
-    wfr/wfi (Q,) free frequencies; t0 scalar; w (K,) {0,1} window.
-    Returns (Cre (Q, Jf+1), Cim (Q, Jf+1), mm (Q,)) with the free-mode
-    amplitude in the last column.
-    """
-    prep = _omega_border_prep(times, d_re, d_im, wr, wi, t0, w)
-    dt = prep[0]
-    Jf = wr.shape[0]
-
-    def one_chunk(args):
-        fr, fi = args
-        Ef = jnp.exp(fi[:, None] * dt[None, :])
-        ph = fr[:, None] * dt[None, :]
-        Pf = Ef * jnp.cos(ph)
-        Qf = -Ef * jnp.sin(ph)
-        return _omega_border_apply(prep, Pf, Qf, Ef * Ef)
-
-    Q = wfr.shape[0]
-    pad = (-Q) % chunk
-    if pad:
-        wfr = jnp.concatenate([wfr, jnp.broadcast_to(wfr[-1], (pad,))])
-        wfi = jnp.concatenate([wfi, jnp.broadcast_to(wfi[-1], (pad,))])
-    nc = wfr.shape[0] // chunk
-    Cf_re, Cf_im, c_re, c_im, mm = jax.lax.map(
-        one_chunk, (wfr.reshape(nc, chunk), wfi.reshape(nc, chunk)))
-    Qp = nc * chunk
-    Cre = jnp.concatenate([Cf_re.reshape(Qp, Jf), c_re.reshape(Qp, 1)],
-                          axis=1)
-    Cim = jnp.concatenate([Cf_im.reshape(Qp, Jf), c_im.reshape(Qp, 1)],
-                          axis=1)
-    return Cre[:Q], Cim[:Q], mm.reshape(-1)[:Q]
 
 
 def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,

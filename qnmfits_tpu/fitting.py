@@ -300,8 +300,8 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
         precision=precision)
 
 
-def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array, *,
-                          t0_method="geq", T_array=100,
+def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
+                          T_array=100, *, t0_method="geq",
                           spherical_modes=None, return_amplitudes=False,
                           mesh=None, dynamic=False, bucket=False):
     """Mismatch vs start time for MANY mode sets in one TPU program.

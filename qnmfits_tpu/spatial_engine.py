@@ -267,13 +267,27 @@ def eval_qmu_c(indices, chif, nl=30):
     if not np.any(live):
         return out[:, 0] if scalar else out
 
-    nn, qq = np.meshgrid(np.where(live)[0], np.arange(Q), indexing="ij")
-    nn, qq = nn.ravel(), qq.ravel()
-    l0s, C = spheroidal_coeffs_batched(-2, Ls[nn], Ms[nn],
-                                       gam[nn, qq], nl=nl)
-    comp = i_[nn] - l0s
+    # Indices sharing a quadratic map (columns 2:10) share (L, M,
+    # gamma): a ladder of (i, j) reads of one map needs ONE eigensolve
+    # per chif, not one per index.
+    live_idx = np.where(live)[0]
+    uniq, inv = np.unique(idx_arr[live_idx, 2:10], axis=0,
+                          return_inverse=True)
+    U = uniq.shape[0]
+    rep = np.empty(U, int)
+    rep[inv] = live_idx
+    uu, qq = np.meshgrid(np.arange(U), np.arange(Q), indexing="ij")
+    uu, qq = uu.ravel(), qq.ravel()
+    l0s, C = spheroidal_coeffs_batched(-2, Ls[rep[uu]], Ms[rep[uu]],
+                                       gam[rep[uu], qq], nl=nl)
+    l0s = l0s.reshape(U, Q)
+    C = C.reshape(U, Q, nl)
+    nn = np.repeat(live_idx, Q)
+    un = np.repeat(inv, Q)
+    qn = np.tile(np.arange(Q), live_idx.size)
+    comp = i_[nn] - l0s[un, qn]
     ok = (comp >= 0) & (comp < nl)
-    out[nn[ok], qq[ok]] = C[np.arange(len(nn))[ok], comp[ok]]
+    out[nn[ok], qn[ok]] = C[un[ok], qn[ok], comp[ok]]
     return out[:, 0] if scalar else out
 
 
