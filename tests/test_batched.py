@@ -333,6 +333,27 @@ class TestModesetSweep:
             np.testing.assert_allclose(Cs[si], C_l, rtol=0, atol=1e-9)
 
 
+    def test_positional_contract(self, syn_mm):
+        """The public signature keeps T_array at positional slot 7
+        (the original contract); everything newer is keyword-only and
+        a positional mis-binding fails loudly (PARITY.md)."""
+        from qnmfits_tpu import fitting
+        mode_sets = [[(2, 2, 0, 1)]]
+        t0s = np.linspace(0.0, 10.0, 3)
+        mm_pos = fitting.mismatch_t0_mode_sets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, 80.0,
+            spherical_modes=syn_mm["spherical_modes"])
+        mm_kw = fitting.mismatch_t0_mode_sets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, T_array=80.0,
+            spherical_modes=syn_mm["spherical_modes"])
+        np.testing.assert_array_equal(mm_pos, mm_kw)
+        with pytest.raises(TypeError):
+            fitting.mismatch_t0_mode_sets(
+                syn_mm["times"], syn_mm["data_dict"], mode_sets,
+                syn_mm["Mf"], syn_mm["chif"], t0s, 80.0, "closest")
+
     def test_bucketed_matches_flat(self, syn_mm):
         """bucket=True (per-width kernels) == the flat padded sweep,
         including the remnant axis and trimmed amplitudes."""
