@@ -117,10 +117,15 @@ def main():
     # of the TPU's double-single f64 (here chunk=512 -> span 12.8M,
     # |Im w|*span ~ 18, comfortably safe; deviation vs the x64 oracle is
     # checked below).
-    from qnmfits_tpu.batched import _safe_chunk
+    from qnmfits_tpu.batched import _safe_chunk, _uniform_spacing
     chunk = _safe_chunk(t0s64, float(np.max(np.abs(wis))), 512)
+    # Uniform time grid -> closed-form geometric-series Grams (the
+    # analytic kernel, PERF.md section 18) instead of the
+    # (Bc,K)@(K,J^2) Gram matmuls.
+    analytic = _uniform_spacing(times64)
     fn = jax.jit(
-        lambda *a: sweep_t0_modesets_factored_real(*a, chunk=chunk))
+        lambda *a: sweep_t0_modesets_factored_real(
+            *a, chunk=chunk, analytic=analytic))
     args = [jax.device_put(x, dev)
             for x in (times64, dre, dim_, wrs, wis, mres, mims,
                       t0s64, Ts64, masks)]

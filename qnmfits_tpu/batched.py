@@ -360,14 +360,30 @@ def _safe_chunk(t0s, wi_max, chunk):
     return 1
 
 
+def _uniform_spacing(times):
+    """True when `times` is a uniform grid to a few ulps (np.arange /
+    np.linspace outputs): the gate for the analytic-Gram fast path
+    (engine_real._analytic_grams).  Genuinely non-uniform grids (e.g.
+    raw SXS sampling) keep the summation kernels."""
+    t = np.asarray(times, float)
+    K = t.shape[0]
+    if K < 2 or not t[-1] > t[0]:
+        return False
+    step = (t[-1] - t[0]) / (K - 1)
+    ideal = t[0] + step * np.arange(K)
+    tol = 16 * np.finfo(float).eps * max(abs(t[0]), abs(t[-1]))
+    return bool(np.max(np.abs(t - ideal)) <= tol)
+
+
 @lru_cache(maxsize=64)
-def _t0_sweep_fast_fn(chunk):
+def _t0_sweep_fast_fn(chunk, analytic=False):
     # The spectrum is evaluated host-side (complex splines must never
     # enter a TPU program: the backend cannot lower f64->c128 converts);
     # the jitted kernel is pure split-complex real arithmetic.
     from .engine_real import sweep_t0_factored_real
 
-    return jax.jit(lambda *a: sweep_t0_factored_real(*a, chunk=chunk))
+    return jax.jit(lambda *a: sweep_t0_factored_real(
+        *a, chunk=chunk, analytic=analytic))
 
 
 def _prep_fast(times, data, modes, Mf, chif, t0_array, T_array,
@@ -408,7 +424,7 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
     times, rows, omega, mu, t0s, Ts, chunk = _prep_fast(
         times, data, modes, Mf, chif, t0_array, T_array, spherical_modes,
         delta, chunk)
-    fn = _t0_sweep_fast_fn(chunk)
+    fn = _t0_sweep_fast_fn(chunk, _uniform_spacing(times))
     Cre, Cim, mm = fn(times, rows.real.copy(), rows.imag.copy(),
                       omega.real.copy(), omega.imag.copy(),
                       mu.real.copy(), mu.imag.copy(), t0s, Ts)
@@ -610,11 +626,12 @@ def _modesets_spectrum_fn(sets_key, sph):
 
 
 @lru_cache(maxsize=64)
-def _t0_sweep_modesets_fn(chunk):
+def _t0_sweep_modesets_fn(chunk, analytic=False):
     from .engine_real import sweep_t0_modesets_factored_real
 
     return jax.jit(
-        lambda *a: sweep_t0_modesets_factored_real(*a, chunk=chunk))
+        lambda *a: sweep_t0_modesets_factored_real(
+            *a, chunk=chunk, analytic=analytic))
 
 
 @lru_cache(maxsize=16)
@@ -721,6 +738,8 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
             if mesh == "auto":
                 mesh = sweep_mesh(n_time=1)
 
+        analytic = _uniform_spacing(times)
+
         def run_group(o, m, mk):
             ck = _safe_chunk(t0s, float(np.max(np.abs(o.imag))), chunk)
             a = (times, rows.real.copy(), rows.imag.copy(),
@@ -730,8 +749,8 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
                 from .parallel.mesh import (
                     sharded_t0_sweep_modesets_factored)
                 return sharded_t0_sweep_modesets_factored(
-                    *a, mesh=mesh, chunk=ck)
-            return _t0_sweep_modesets_fn(ck)(*a)
+                    *a, mesh=mesh, chunk=ck, analytic=analytic)
+            return _t0_sweep_modesets_fn(ck, analytic)(*a)
 
         if bucket:
             # Group rows by padded width: the factored Gram matmul is
@@ -799,7 +818,8 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
     Cre, Cim, mm = sharded_t0_sweep_factored(
         times, rows.real.copy(), rows.imag.copy(),
         omega.real.copy(), omega.imag.copy(),
-        mu.real.copy(), mu.imag.copy(), t0s, Ts, mesh=mesh, chunk=chunk)
+        mu.real.copy(), mu.imag.copy(), t0s, Ts, mesh=mesh, chunk=chunk,
+        analytic=_uniform_spacing(times))
     mm = np.asarray(mm)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)

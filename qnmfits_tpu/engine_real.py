@@ -404,9 +404,129 @@ def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
 # window in the chunk (t0_b >= tref), so their weights are zero and the
 # clamp is exact.
 
+def _analytic_grams(times, wr, wi, t0c, W):
+    """Closed-form window Grams on a UNIFORM time grid (geq windows).
+
+    Each Gram entry sums a geometric series: with
+    nu_jl = i(conj(w_j) - w_l) and z = e^{nu dlt},
+
+        Gt[b,j,l] = e^{nu (t_a(b) - tref)} (z^{m_b} - 1)/(z - 1),
+
+    where t_a(b) is the first in-window sample and m_b the sample
+    count; the trapezoid Gram subtracts half the two edge terms.  The
+    caller guarantees uniform spacing.  z^{m_b} - 1 uses the expm1-form
+    u(z^p) = z^p - 1 with u(z^{2p}) = u^2 + 2u and
+    u(z^{p+q}) = u_p u_q + u_p + u_q (bit decomposition of the sample
+    count) -- no absolute-1 cancellation; the leading factor is a
+    direct complex exp (it needs relative precision at tiny
+    magnitudes).  The whole Gram stage is O(Bc J^2 log K) multiplies
+    plus 3 transcendental (Bc, J, J) arrays, instead of the
+    (Bc, K) @ (K, J^2) matmuls of the summation path.  Every
+    intermediate magnitude is <= 1 (damped modes, t_a >= tref), inside
+    the float32 exponent range of the TPU's double-single f64.
+    Validated to ~3e-16 relative vs direct summation
+    (scripts/proto_analytic_gram2.py).
+
+    Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J).
+    """
+    K = times.shape[0]
+    J = wr.shape[0]
+    dtype = times.dtype
+    nbits = max(1, int(np.ceil(np.log2(K + 1))))
+    dlt = times[1] - times[0]
+    tref = t0c[0]
+
+    nu_re = wi[:, None] + wi[None, :]                     # (J, J)
+    nu_im = wr[:, None] - wr[None, :]
+
+    # u(z) = e^{nu dlt} - 1 via complex expm1 (small argument).
+    ex = jnp.exp(nu_re * dlt)
+    den_re = (jnp.expm1(nu_re * dlt)
+              - 2.0 * ex * jnp.sin(nu_im * dlt * 0.5) ** 2)
+    den_im = ex * jnp.sin(nu_im * dlt)
+
+    a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
+                axis=1)                                   # (Bc,) first index
+    m = jnp.sum(W.astype(jnp.int32), axis=1)              # (Bc,) count
+    a0 = a[0]                                             # t0c sorted
+    n = a - a0
+    t_a0 = times[0] + a0.astype(dtype) * dlt              # first sample of
+                                                          # the chunk's first
+                                                          # window
+
+    # Leading factor F = e^{nu (t_a(b) - tref)} multiplies EVERY term of
+    # its Gram entry, so it needs full RELATIVE precision even when tiny
+    # (fast modes deep into a chunk: |F| ~ e^{-2|Im w| chunk-span}); a
+    # u-form reconstruction z^n = u + 1 would bottom out at absolute
+    # eps.  Direct exp keeps eps-relative accuracy at any magnitude --
+    # three transcendental (Bc, J, J) arrays per chunk.
+    # >= 0 whenever tref lies inside the grid; the clamp only guards
+    # pathological all-empty chunks (t0 beyond the last sample), where
+    # m = 0 zeroes the Gram anyway -- without it exp could overflow to
+    # inf and poison that zero with NaN.
+    s_b = jnp.maximum((t_a0 - tref) + n.astype(dtype) * dlt, 0.0)
+    arg_re = nu_re[None] * s_b[:, None, None]
+    arg_im = nu_im[None] * s_b[:, None, None]
+    e0 = jnp.exp(arg_re)
+    F_re = e0 * jnp.cos(arg_im)
+    F_im = e0 * jnp.sin(arg_im)
+
+    # u(z^m) by bit decomposition of the sample count m; here u ~ -1
+    # (decayed windows) only ever feeds z^m - 1 itself, where absolute
+    # eps IS relative eps.
+    Bc = t0c.shape[0]
+    usq_re, usq_im = den_re, den_im                       # u(z^{2^i})
+    um_re = jnp.zeros((Bc, J, J), dtype)
+    um_im = jnp.zeros((Bc, J, J), dtype)
+    for i in range(nbits):
+        bm = ((m >> i) & 1).astype(dtype)[:, None, None]
+        cm_re = um_re * usq_re - um_im * usq_im + usq_re
+        cm_im = um_re * usq_im + um_im * usq_re + usq_im
+        um_re = um_re + bm * cm_re
+        um_im = um_im + bm * cm_im
+        usq_re, usq_im = (usq_re * usq_re - usq_im * usq_im + 2.0 * usq_re,
+                          2.0 * usq_re * usq_im + 2.0 * usq_im)
+
+    # Geometric sum S_m = u(z^m)/u(z); nu == 0 (padded columns and their
+    # diagonal) has the exact limit S_m = m.
+    den2 = den_re * den_re + den_im * den_im
+    safe = den2 > 0
+    dsr = jnp.where(safe, den_re, 1.0)
+    dsi = jnp.where(safe, den_im, 0.0)
+    d2s = dsr * dsr + dsi * dsi
+    S_re = (um_re * dsr + um_im * dsi) / d2s
+    S_im = (um_im * dsr - um_re * dsi) / d2s
+    mf = m.astype(dtype)[:, None, None]
+    S_re = jnp.where(safe[None], S_re, mf)
+    S_im = jnp.where(safe[None], S_im, 0.0)
+
+    Gt_re = F_re * S_re - F_im * S_im
+    Gt_im = F_re * S_im + F_im * S_re
+
+    # Trapezoid Gram: dlt * (Gt - (term_first + term_last)/2), the last
+    # term being F z^{m-1} = F (u(z^m)+1)/z.
+    zm_re, zm_im = um_re + 1.0, um_im
+    z_re, z_im = den_re + 1.0, den_im
+    z2 = z_re * z_re + z_im * z_im
+    zb_re = (zm_re * z_re[None] + zm_im * z_im[None]) / z2[None]
+    zb_im = (zm_im * z_re[None] - zm_re * z_im[None]) / z2[None]
+    tb_re = F_re * zb_re - F_im * zb_im
+    tb_im = F_re * zb_im + F_im * zb_re
+    nonempty = (m > 0).astype(dtype)[:, None, None]
+    Gtau_re = dlt * (Gt_re - 0.5 * (F_re + tb_re)) * nonempty
+    Gtau_im = dlt * (Gt_im - 0.5 * (F_im + tb_im)) * nonempty
+    return Gt_re, Gt_im, Gtau_re, Gtau_im
+
+
 def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
-                          col_mask):
-    """One chunk of start times, factored form.  t0c/Tc (Bc,)."""
+                          col_mask, analytic: bool = False):
+    """One chunk of start times, factored form.  t0c/Tc (Bc,).
+
+    analytic=True (uniform time grids only; the batched layer gates on
+    measured spacing) replaces the Gram-stage matmuls with the
+    closed-form geometric-series Grams of _analytic_grams -- the data
+    projections, solve and mismatch path are identical.
+    """
     K = times.shape[0]
     J = wr.shape[0]
     I = dre.shape[0]
@@ -417,12 +537,6 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
     ph = wr[None, :] * dt0[:, None]
     P0 = E * jnp.cos(ph)                                  # (K, J)
     Q0 = -E * jnp.sin(ph)
-
-    # Pairwise products conj(phi0)_j phi0_l: A1 + i A2, flattened (K, J*J).
-    A1 = (P0[:, :, None] * P0[:, None, :]
-          + Q0[:, :, None] * Q0[:, None, :]).reshape(K, J * J)
-    A2 = (P0[:, :, None] * Q0[:, None, :]
-          - Q0[:, :, None] * P0[:, None, :]).reshape(K, J * J)
 
     # Data projections R = conj(phi0)^T d pieces, flattened (K, I*J).
     R1 = (P0[:, None, :] * dre.T[:, :, None]
@@ -439,11 +553,21 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
     Tau = (jnp.concatenate([seg, zero], axis=1)
            + jnp.concatenate([zero, seg], axis=1))       # (Bc, K)
 
-    # Gram/projection sums for all windows at once: (Bc, K) @ (K, .).
-    Gt_re = (W @ A1).reshape(-1, J, J)
-    Gt_im = (W @ A2).reshape(-1, J, J)
-    Gtau_re = (Tau @ A1).reshape(-1, J, J)
-    Gtau_im = (Tau @ A2).reshape(-1, J, J)
+    if analytic:
+        Gt_re, Gt_im, Gtau_re, Gtau_im = _analytic_grams(
+            times, wr, wi, t0c, W)
+    else:
+        # Pairwise products conj(phi0)_j phi0_l: A1 + i A2, (K, J*J).
+        A1 = (P0[:, :, None] * P0[:, None, :]
+              + Q0[:, :, None] * Q0[:, None, :]).reshape(K, J * J)
+        A2 = (P0[:, :, None] * Q0[:, None, :]
+              - Q0[:, :, None] * P0[:, None, :]).reshape(K, J * J)
+        # Gram sums for all windows at once: (Bc, K) @ (K, .).
+        Gt_re = (W @ A1).reshape(-1, J, J)
+        Gt_im = (W @ A2).reshape(-1, J, J)
+        Gtau_re = (Tau @ A1).reshape(-1, J, J)
+        Gtau_im = (Tau @ A2).reshape(-1, J, J)
+
     pd_re = (W @ R1).reshape(-1, I, J)
     pd_im = (W @ R2).reshape(-1, I, J)
     pdt_re = (Tau @ R1).reshape(-1, I, J)
@@ -500,15 +624,19 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
 
 
 def sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
-                           col_mask=None, chunk: int = 64):
+                           col_mask=None, chunk: int = 64,
+                           analytic: bool = False):
     """Factored t0 sweep (geq windows); t0s must be sorted ascending.
+
+    analytic=True: closed-form Grams (uniform time grids only -- see
+    _analytic_grams; callers gate on measured spacing).
 
     Returns (Cre (B, J), Cim (B, J), mm (B,)).
     """
     def one_chunk(args):
         t0c, Tc = args
         return _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim,
-                                     t0c, Tc, col_mask)
+                                     t0c, Tc, col_mask, analytic=analytic)
 
     B = t0s.shape[0]
     pad = (-B) % chunk
@@ -525,7 +653,8 @@ def sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
 
 def sweep_t0_modesets_factored_real(times, dre, dim, wrs, wis, mres, mims,
                                     t0s, Ts, col_masks, chunk: int = 64,
-                                    set_chunk: int | None = None):
+                                    set_chunk: int | None = None,
+                                    analytic: bool = False):
     """t0 x mode-set sweep on the factored kernel, mode sets VMAPPED.
 
     Serialising the mode-set axis (lax.map batch_size=1) leaves the MXU
@@ -537,7 +666,8 @@ def sweep_t0_modesets_factored_real(times, dre, dim, wrs, wis, mres, mims,
     """
     def per_set(wr, wi, mre, mim, mask):
         return sweep_t0_factored_real(times, dre, dim, wr, wi, mre, mim,
-                                      t0s, Ts, col_mask=mask, chunk=chunk)
+                                      t0s, Ts, col_mask=mask, chunk=chunk,
+                                      analytic=analytic)
 
     if set_chunk is None:
         return jax.vmap(per_set)(wrs, wis, mres, mims, col_masks)

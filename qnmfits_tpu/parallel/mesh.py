@@ -233,7 +233,8 @@ def _clamped_chunk(t0s, wi, chunk):
 
 
 def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
-                              mesh: Mesh, col_mask=None, chunk: int = 64):
+                              mesh: Mesh, col_mask=None, chunk: int = 64,
+                              analytic: bool = False):
     """The FAST multi-chip sweep: factored t0 kernel sharded over 'sweep'.
 
     Each device runs engine_real.sweep_t0_factored_real on a contiguous
@@ -267,7 +268,8 @@ def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
     def run(times_, dre_, dim_, wr_, wi_, mre_, mim_, t0_loc, T_loc):
         return sweep_t0_factored_real(times_, dre_, dim_, wr_, wi_,
                                       mre_, mim_, t0_loc, T_loc,
-                                      col_mask=col_mask, chunk=chunk)
+                                      col_mask=col_mask, chunk=chunk,
+                                      analytic=analytic)
 
     Cre, Cim, mm = jax.jit(run)(
         np.asarray(times), np.asarray(dre), np.asarray(dim),
@@ -278,7 +280,8 @@ def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
 
 def sharded_t0_sweep_modesets_factored(times, dre, dim, wrs, wis, mres,
                                        mims, t0s, Ts, col_masks,
-                                       mesh: Mesh, chunk: int = 64):
+                                       mesh: Mesh, chunk: int = 64,
+                                       analytic: bool = False):
     """Multi-chip t0 x mode-set sweep: start times sharded over the
     'sweep' mesh axis, the mode-set axis vmapped on every device (the
     full single-chip throughput kernel, scaled by pure data parallelism
@@ -309,7 +312,7 @@ def sharded_t0_sweep_modesets_factored(times, dre, dim, wrs, wis, mres,
             masks_):
         return sweep_t0_modesets_factored_real(
             times_, dre_, dim_, wrs_, wis_, mres_, mims_, t0_loc, T_loc,
-            masks_, chunk=chunk)
+            masks_, chunk=chunk, analytic=analytic)
 
     Cre, Cim, mm = jax.jit(run)(
         np.asarray(times), np.asarray(dre), np.asarray(dim),

@@ -775,3 +775,66 @@ class TestOmegaBordered:
                        * (tm - t0)[:, None])
             C_ref, *_ = np.linalg.lstsq(a, dm, rcond=None)
             np.testing.assert_allclose(C[q], C_ref, rtol=0, atol=1e-8)
+
+
+class TestAnalyticGram:
+    """The closed-form (geometric-series) window Grams of the factored
+    t0 kernels (engine_real._analytic_grams): uniform-grid gate, exact
+    agreement with the summation kernel, and oracle parity through the
+    public sweeps."""
+
+    def test_uniform_gate(self):
+        from qnmfits_tpu.batched import _uniform_spacing
+        assert _uniform_spacing(np.arange(-20.0, 120.0, 0.1))
+        assert _uniform_spacing(np.linspace(-50.0, 150.0, 2001))
+        rng = np.random.default_rng(0)
+        t = np.arange(-20.0, 120.0, 0.1)
+        assert not _uniform_spacing(t + rng.normal(0, 1e-3, t.size))
+        assert not _uniform_spacing(t[::-1])
+        assert not _uniform_spacing(np.array([1.0]))
+
+    def test_kernel_matches_summation(self, syn):
+        """analytic=True == analytic=False on the factored kernel,
+        including a padded column mask and per-window T."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine_real import sweep_t0_factored_real
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        w = np.array(get_qnm().omega_list(syn["modes"], syn["chif"],
+                                          syn["Mf"]))
+        w = np.concatenate([w, [0.0 + 0.0j]])      # padded slot
+        mask = np.array([True] * (len(w) - 1) + [False])
+        d = np.asarray(syn["data"])
+        t0s = np.linspace(0.0, 20.0, 9)
+        Ts = np.concatenate([np.full(5, 70.0), np.full(4, 25.0)])
+        args = (jnp.asarray(np.asarray(syn["times"], float)),
+                d.real[None, :], d.imag[None, :],
+                jnp.asarray(w.real), jnp.asarray(w.imag),
+                jnp.ones((1, w.size)), jnp.zeros((1, w.size)),
+                jnp.asarray(t0s), jnp.asarray(Ts))
+        out_m = sweep_t0_factored_real(*args, col_mask=mask, chunk=4,
+                                       analytic=False)
+        out_a = sweep_t0_factored_real(*args, col_mask=mask, chunk=4,
+                                       analytic=True)
+        for x_m, x_a in zip(out_m, out_a):
+            np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
+                                       rtol=0, atol=1e-12)
+
+    def test_nonuniform_times_fall_back(self, syn):
+        """A genuinely non-uniform grid routes to the summation kernel
+        and still matches the oracle (the gate must not mis-fire)."""
+        from qnmfits_tpu import ref_impl
+        from qnmfits_tpu.batched import batch_mismatch_t0_fast
+
+        rng = np.random.default_rng(3)
+        t = np.asarray(syn["times"], float).copy()
+        t[1:-1] += rng.uniform(-0.02, 0.02, t.size - 2)
+        freqs = syn["frequencies"]
+        data = ref_impl.ringdown(t, 0.0, syn["amplitudes"], freqs)
+        t0s = np.linspace(0.0, 15.0, 5)
+        mm = batch_mismatch_t0_fast(t, data, syn["modes"], syn["Mf"],
+                                    syn["chif"], t0s, T_array=60.0)
+        mm_l = ref_impl.mismatch_t0_array(t, data, syn["modes"],
+                                          syn["Mf"], syn["chif"], t0s,
+                                          T_array=60.0)
+        np.testing.assert_allclose(mm, mm_l, rtol=0, atol=1e-11)
