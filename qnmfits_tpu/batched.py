@@ -435,17 +435,21 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
 
 
 @lru_cache(maxsize=64)
-def _spectra_sweep_fn(chunk):
+def _spectra_sweep_fn(chunk, analytic=False):
     from .engine_real import sweep_spectra_real
 
-    return jax.jit(lambda *a: sweep_spectra_real(*a, chunk=chunk))
+    return jax.jit(lambda *a: sweep_spectra_real(
+        *a, chunk=chunk, analytic=analytic))
 
 
 def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
                        mesh=None):
     """Split-complex spectrum-batched sweep: omegas (Q, J), mus (Q, I, J)
     complex host arrays; returns (C (Q, J) complex, mm (Q,)).  Pass
-    ``mesh`` to shard the grid axis over devices (DP, one gather)."""
+    ``mesh`` to shard the grid axis over devices (DP, one gather).
+    Uniform time grids route each grid point's Gram assembly to the
+    closed-form geometric-series path (PERF.md section 18)."""
+    analytic = _uniform_spacing(times)
     args = (np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
             omegas.real.copy(), omegas.imag.copy(),
             mus.real.copy(), mus.imag.copy(),
@@ -455,9 +459,10 @@ def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
         if mesh == "auto":
             mesh = sweep_mesh(n_time=1)
         Cre, Cim, mm = sharded_spectra_sweep(*args, mesh=mesh,
-                                             chunk=chunk)
+                                             chunk=chunk,
+                                             analytic=analytic)
     else:
-        Cre, Cim, mm = _spectra_sweep_fn(chunk)(*args)
+        Cre, Cim, mm = _spectra_sweep_fn(chunk, analytic)(*args)
     return np.asarray(Cre) + 1j * np.asarray(Cim), np.asarray(mm)
 
 

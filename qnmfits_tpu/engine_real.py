@@ -129,12 +129,17 @@ def _embedded_solve(Gre, Gim, bre, bim):
 
 
 def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
-                  col_mask=None):
+                  col_mask=None, analytic: bool = False):
     """Weighted multimode least-squares fit, all-real arithmetic.
 
     times (K,); data = dre + i dim (I, K); omega = wr + i wi (J,);
     mu = mre + i mim (I, J); w (K,) {0,1} window weights.  Dtypes follow
     the inputs (float32 on TPU).
+
+    analytic=True (uniform time grids only; callers gate on measured
+    spacing) replaces both (K,J)^T(K,J) Gram assemblies with the
+    closed-form geometric-series Grams (_analytic_gram_window) -- the
+    data projections, solve and mismatch path are identical.
 
     Returns (Cre (J,), Cim (J,), mm scalar) -- same numerics as
     engine.fit_core.
@@ -154,9 +159,13 @@ def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
     Pw = P * w[:, None]
     Qw = Q * w[:, None]
 
-    # Gt = phi^H W phi  (w binary: w^2 = w).
-    Gt_re = Pw.T @ Pw + Qw.T @ Qw
-    Gt_im = Pw.T @ Qw - Qw.T @ Pw
+    if analytic:
+        Gt_re, Gt_im, Gtau_re, Gtau_im = _analytic_gram_window(
+            times, wr, wi, t0, w)
+    else:
+        # Gt = phi^H W phi  (w binary: w^2 = w).
+        Gt_re = Pw.T @ Pw + Qw.T @ Qw
+        Gt_im = Pw.T @ Qw - Qw.T @ Pw
 
     # Mmu = mu^H mu.
     M_re = mre.T @ mre + mim.T @ mim
@@ -187,11 +196,13 @@ def fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
 
     Cre, Cim = _embedded_solve(G_re, G_im, rhs_re, rhs_im)
 
-    # Mismatch pieces with trapezoid weights.
+    # Mismatch pieces with trapezoid weights (tau-weighted data
+    # projections always summed; the tau Gram is analytic when gated).
     Pt = P * tau[:, None]
     Qt = Q * tau[:, None]
-    Gtau_re = Pt.T @ P + Qt.T @ Q
-    Gtau_im = Pt.T @ Q - Qt.T @ P
+    if not analytic:
+        Gtau_re = Pt.T @ P + Qt.T @ Q
+        Gtau_im = Pt.T @ Q - Qt.T @ P
     Gt2_re = M_re * Gtau_re - M_im * Gtau_im
     Gt2_im = M_re * Gtau_im + M_im * Gtau_re
 
@@ -363,7 +374,8 @@ def sweep_t0_modesets_dynamic_real(times, dre, dim, wr_ts, wi_ts, mre_ts,
 
 
 def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
-                       col_mask=None, chunk: int = 64):
+                       col_mask=None, chunk: int = 64,
+                       analytic: bool = False):
     """Spectrum-batched fit sweep with a FIXED window: the TPU kernel
     behind the (Mf, chif) and free-frequency grid hot loops (reference
     qnmfits.py:1304-1415, 1679-1827 -- one lstsq per grid point there).
@@ -374,12 +386,18 @@ def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
     full Gram assembly -- batched into MXU matmuls by vmap, chunked with
     lax.map to bound the (chunk, K, J) phase arrays in HBM.
 
+    analytic=True (uniform time grids only; the batched layer gates on
+    measured spacing) swaps each item's Gram assemblies -- the dominant
+    per-item cost, PERF.md section 10 -- for the closed-form
+    geometric-series Grams; 'geq' AND 'closest' windows are exact
+    (_analytic_gram_window derives the start from the indicator).
+
     Returns (Cre (Q, J), Cim (Q, J), mm (Q,)).
     """
     def one(args):
         wr, wi, mre, mim = args
         return fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
-                             col_mask=col_mask)
+                             col_mask=col_mask, analytic=analytic)
 
     return jax.lax.map(one, (wrs, wis, mres, mims), batch_size=chunk)
 
@@ -429,12 +447,34 @@ def _analytic_grams(times, wr, wi, t0c, W):
 
     Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J).
     """
-    K = times.shape[0]
-    J = wr.shape[0]
     dtype = times.dtype
-    nbits = max(1, int(np.ceil(np.log2(K + 1))))
     dlt = times[1] - times[0]
     tref = t0c[0]
+
+    a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
+                axis=1)                                   # (Bc,) first index
+    m = jnp.sum(W.astype(jnp.int32), axis=1)              # (Bc,) count
+    a0 = a[0]                                             # t0c sorted
+    n = a - a0
+    t_a0 = times[0] + a0.astype(dtype) * dlt              # first sample of
+                                                          # the chunk's first
+                                                          # window
+    # s >= 0 whenever tref lies inside the grid; the clamp only guards
+    # pathological all-empty chunks (t0 beyond the last sample), where
+    # m = 0 zeroes the Gram anyway -- without it exp could overflow to
+    # inf and poison that zero with NaN.
+    s_b = jnp.maximum((t_a0 - tref) + n.astype(dtype) * dlt, 0.0)
+    return _geom_grams_core(dlt, times.shape[0], wr, wi, s_b, m)
+
+
+def _geom_grams_core(dlt, K, wr, wi, s_b, m):
+    """Shared evaluation of the closed-form Grams: windows of m[b]
+    consecutive samples on a uniform grid (spacing dlt) whose first
+    sample sits at offset s_b[b] from the basis reference time.
+    Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J)."""
+    J = wr.shape[0]
+    dtype = wr.dtype
+    nbits = max(1, int(np.ceil(np.log2(K + 1))))
 
     nu_re = wi[:, None] + wi[None, :]                     # (J, J)
     nu_im = wr[:, None] - wr[None, :]
@@ -445,26 +485,12 @@ def _analytic_grams(times, wr, wi, t0c, W):
               - 2.0 * ex * jnp.sin(nu_im * dlt * 0.5) ** 2)
     den_im = ex * jnp.sin(nu_im * dlt)
 
-    a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
-                axis=1)                                   # (Bc,) first index
-    m = jnp.sum(W.astype(jnp.int32), axis=1)              # (Bc,) count
-    a0 = a[0]                                             # t0c sorted
-    n = a - a0
-    t_a0 = times[0] + a0.astype(dtype) * dlt              # first sample of
-                                                          # the chunk's first
-                                                          # window
-
-    # Leading factor F = e^{nu (t_a(b) - tref)} multiplies EVERY term of
-    # its Gram entry, so it needs full RELATIVE precision even when tiny
-    # (fast modes deep into a chunk: |F| ~ e^{-2|Im w| chunk-span}); a
-    # u-form reconstruction z^n = u + 1 would bottom out at absolute
-    # eps.  Direct exp keeps eps-relative accuracy at any magnitude --
-    # three transcendental (Bc, J, J) arrays per chunk.
-    # >= 0 whenever tref lies inside the grid; the clamp only guards
-    # pathological all-empty chunks (t0 beyond the last sample), where
-    # m = 0 zeroes the Gram anyway -- without it exp could overflow to
-    # inf and poison that zero with NaN.
-    s_b = jnp.maximum((t_a0 - tref) + n.astype(dtype) * dlt, 0.0)
+    # Leading factor F = e^{nu s_b} multiplies EVERY term of its Gram
+    # entry, so it needs full RELATIVE precision even when tiny (fast
+    # modes deep into a chunk: |F| ~ e^{-2|Im w| chunk-span}); a u-form
+    # reconstruction z^n = u + 1 would bottom out at absolute eps.
+    # Direct exp keeps eps-relative accuracy at any magnitude -- three
+    # transcendental (Bc, J, J) arrays per chunk.
     arg_re = nu_re[None] * s_b[:, None, None]
     arg_im = nu_im[None] * s_b[:, None, None]
     e0 = jnp.exp(arg_re)
@@ -474,7 +500,7 @@ def _analytic_grams(times, wr, wi, t0c, W):
     # u(z^m) by bit decomposition of the sample count m; here u ~ -1
     # (decayed windows) only ever feeds z^m - 1 itself, where absolute
     # eps IS relative eps.
-    Bc = t0c.shape[0]
+    Bc = s_b.shape[0]
     usq_re, usq_im = den_re, den_im                       # u(z^{2^i})
     um_re = jnp.zeros((Bc, J, J), dtype)
     um_im = jnp.zeros((Bc, J, J), dtype)
@@ -516,6 +542,27 @@ def _analytic_grams(times, wr, wi, t0c, W):
     Gtau_re = dlt * (Gt_re - 0.5 * (F_re + tb_re)) * nonempty
     Gtau_im = dlt * (Gt_im - 0.5 * (F_im + tb_im)) * nonempty
     return Gt_re, Gt_im, Gtau_re, Gtau_im
+
+
+def _analytic_gram_window(times, wr, wi, t0, w):
+    """Closed-form Grams for ONE window on a uniform grid in the
+    t0-referenced basis of fit_core_real (phi = exp(-i w (t - t0))).
+
+    Unlike _analytic_grams (factored t0 sweep, geq windows sorted by
+    start time), the window start is derived from the indicator `w`
+    itself, so 'closest' windows whose first sample precedes t0 by up
+    to dlt/2 are exact too (|F| <= e^{|nu| dlt/2} ~ 1 there -- no
+    overflow risk).  Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), (J, J).
+    """
+    wint = (w > 0.5).astype(jnp.int32)
+    m = jnp.sum(wint)
+    a = jnp.sum(jnp.cumsum(wint) == 0)                    # leading zeros
+    dlt = times[1] - times[0]
+    s = jnp.where(m > 0,
+                  times[0] + a.astype(times.dtype) * dlt - t0, 0.0)
+    Gt_re, Gt_im, Gtau_re, Gtau_im = _geom_grams_core(
+        dlt, times.shape[0], wr, wi, s[None], m[None])
+    return Gt_re[0], Gt_im[0], Gtau_re[0], Gtau_im[0]
 
 
 def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,

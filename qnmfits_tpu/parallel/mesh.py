@@ -397,7 +397,8 @@ def sharded_fit_core_real(times, dre, dim, wr, wi, mre, mim, t0, w,
 
 
 def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
-                          mesh: Mesh, col_mask=None, chunk: int = 64):
+                          mesh: Mesh, col_mask=None, chunk: int = 64,
+                          analytic: bool = False):
     """Grid sweep sharded over 'sweep': pure data parallelism over the
     Q spectrum-batched grid points (the (Mf, chif) and free-frequency
     hot loops at multi-chip scale; reference qnmfits.py:1304-1415,
@@ -426,7 +427,8 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
     def run(times_, dre_, dim_, wrs_, wis_, mres_, mims_, w_):
         return sweep_spectra_real(times_, dre_, dim_, wrs_, wis_,
                                   mres_, mims_, t0, w_,
-                                  col_mask=col_mask, chunk=chunk)
+                                  col_mask=col_mask, chunk=chunk,
+                                  analytic=analytic)
 
     Cre, Cim, mm = jax.jit(run)(
         np.asarray(times), np.asarray(dre), np.asarray(dim),

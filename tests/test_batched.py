@@ -820,6 +820,55 @@ class TestAnalyticGram:
             np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
                                        rtol=0, atol=1e-12)
 
+    def test_grid_kernel_matches_summation(self, syn):
+        """analytic=True == analytic=False on the spectrum-batched grid
+        kernel, for 'geq' AND 'closest' windows (the window start is
+        derived from the indicator) and a padded column."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine_real import sweep_spectra_real
+        from qnmfits_tpu.ops.windows import window_closest, window_geq
+
+        rng = np.random.default_rng(11)
+        t = np.asarray(syn["times"], float)
+        J, Q, I = 5, 7, 2
+        wr = rng.uniform(0.3, 1.2, (Q, J))
+        wi = -rng.uniform(0.02, 0.6, (Q, J))
+        wr[:, -1] = 0.0
+        wi[:, -1] = 0.0                                   # padded slot
+        mask = np.array([True] * (J - 1) + [False])
+        mre = rng.normal(size=(Q, I, J))
+        mim = rng.normal(size=(Q, I, J))
+        dre = rng.normal(size=(I, t.size))
+        dim = rng.normal(size=(I, t.size))
+        for window, t0 in ((window_geq, 3.03), (window_closest, 3.03),
+                           (window_geq, 0.0)):
+            w = jnp.asarray(np.asarray(window(t, t0, 80.0), float))
+            args = (t, dre, dim, wr, wi, mre, mim, t0, w)
+            out_m = sweep_spectra_real(*args, col_mask=mask, chunk=3,
+                                       analytic=False)
+            out_a = sweep_spectra_real(*args, col_mask=mask, chunk=3,
+                                       analytic=True)
+            for x_m, x_a in zip(out_m, out_a):
+                np.testing.assert_allclose(
+                    np.asarray(x_a), np.asarray(x_m), rtol=0, atol=1e-12)
+
+    def test_nonuniform_grid_falls_back_M_chi(self, syn):
+        """A non-uniform grid keeps the summation path on the M-chi
+        grid engine and still matches the x64 batched engine."""
+        from qnmfits_tpu import ref_impl
+
+        rng = np.random.default_rng(3)
+        t = np.asarray(syn["times"], float).copy()
+        t[1:-1] += rng.uniform(-0.02, 0.02, t.size - 2)
+        freqs = syn["frequencies"]
+        data = ref_impl.ringdown(t, 0.0, syn["amplitudes"], freqs)
+        kw = dict(t0=5.0, T=80.0, res=4)
+        mm_f = batched.batch_mismatch_M_chi_fast(
+            t, data, syn["modes"], (0.9, 1.0), (0.6, 0.8), **kw)
+        mm_b = batched.batch_mismatch_M_chi(
+            t, data, syn["modes"], (0.9, 1.0), (0.6, 0.8), **kw)
+        np.testing.assert_allclose(mm_f, mm_b, rtol=0, atol=1e-11)
+
     def test_nonuniform_times_fall_back(self, syn):
         """A genuinely non-uniform grid routes to the summation kernel
         and still matches the oracle (the gate must not mis-fire)."""
