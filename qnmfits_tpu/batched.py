@@ -442,14 +442,26 @@ def _spectra_sweep_fn(chunk, analytic=False):
         *a, chunk=chunk, analytic=analytic))
 
 
+def _accel_backend():
+    """True when the sweep dispatch target is an accelerator (not the
+    x64 CPU backend).  Routing knob for trades that are measured
+    opposite ways on the two backends (PERF.md section 19)."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
+
+
 def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
                        mesh=None):
     """Split-complex spectrum-batched sweep: omegas (Q, J), mus (Q, I, J)
     complex host arrays; returns (C (Q, J) complex, mm (Q,)).  Pass
     ``mesh`` to shard the grid axis over devices (DP, one gather).
-    Uniform time grids route each grid point's Gram assembly to the
-    closed-form geometric-series path (PERF.md section 18)."""
-    analytic = _uniform_spacing(times)
+    On a TPU-class backend, uniform time grids route each grid point's
+    Gram assembly to the closed-form geometric-series path (PERF.md
+    section 19); on CPU the per-item summation matmuls are measured
+    faster and stay."""
+    analytic = _uniform_spacing(times) and _accel_backend()
     args = (np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
             omegas.real.copy(), omegas.imag.copy(),
             mus.real.copy(), mus.imag.copy(),

@@ -251,6 +251,38 @@ def test_sharded_grid_sweeps_match_fast(cpu_devices):
     np.testing.assert_allclose(mm_so, mm_fo, rtol=0, atol=1e-12)
 
 
+def test_sharded_grid_analytic_matches_summation(cpu_devices):
+    """The analytic (geometric-series) Gram path through the SHARDED
+    grid kernel == the unsharded summation kernel (the TPU routing of
+    batched._run_spectra_sweep, exercised explicitly here because the
+    CPU-backend gate keeps it off the public route in this suite)."""
+    import jax.numpy as jnp
+
+    from qnmfits_tpu.engine_real import sweep_spectra_real
+    from qnmfits_tpu.parallel.mesh import sharded_spectra_sweep, sweep_mesh
+
+    rng = np.random.default_rng(17)
+    t = np.arange(-10.0, 110.0, 0.1)
+    Q, J, I = 11, 4, 2
+    wr = rng.uniform(0.3, 0.9, (Q, J))
+    wi = -rng.uniform(0.05, 0.5, (Q, J))
+    mre = rng.normal(size=(Q, I, J))
+    mim = rng.normal(size=(Q, I, J))
+    dre = rng.normal(size=(I, t.size))
+    dim = rng.normal(size=(I, t.size))
+    t0 = 3.0
+    w = ((t >= t0) & (t < t0 + 70.0)).astype(float)
+
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    out_s = sweep_spectra_real(t, dre, dim, wr, wi, mre, mim, t0,
+                               jnp.asarray(w), chunk=4, analytic=False)
+    out_a = sharded_spectra_sweep(t, dre, dim, wr, wi, mre, mim, t0, w,
+                                  mesh=mesh, chunk=4, analytic=True)
+    for x_s, x_a in zip(out_s, out_a):
+        np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_s),
+                                   rtol=0, atol=1e-12)
+
+
 def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
     """The factored production kernel with BOTH mesh axes live (windows
     over 'sweep', time samples over 'time' with psum'd Gram sums +
