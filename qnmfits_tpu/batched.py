@@ -558,11 +558,12 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
 
 
 @lru_cache(maxsize=16)
-def _omega_bordered_fn(a_chunk):
+def _omega_bordered_fn(a_chunk, analytic=False):
     from .engine_real import sweep_omega_grid_bordered_real
 
     return jax.jit(
-        lambda *a: sweep_omega_grid_bordered_real(*a, a_chunk=a_chunk))
+        lambda *a: sweep_omega_grid_bordered_real(
+            *a, a_chunk=a_chunk, analytic=analytic))
 
 
 def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
@@ -588,6 +589,11 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
 
     fixed, w = _omega_fixed_prep(modes, Mf, chif, times, t0, T, t0_method)
 
+    # Closed-form cross Grams on uniform grids (PERF.md section 20):
+    # measured faster on BOTH backends (unlike the per-item grid
+    # kernel's trade), so uniformity is the only gate.
+    analytic = _uniform_spacing(times)
+
     args = (np.asarray(times, float), rows[0].real.copy(),
             rows[0].imag.copy(), fixed.real.copy(), fixed.imag.copy(),
             re_axis, im_axis, float(t0), w)
@@ -596,9 +602,10 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
         if mesh == "auto":
             mesh = sweep_mesh(n_time=1)
         Cre, Cim, mm = sharded_omega_grid_bordered(*args, mesh=mesh,
-                                                   a_chunk=a_chunk)
+                                                   a_chunk=a_chunk,
+                                                   analytic=analytic)
     else:
-        Cre, Cim, mm = _omega_bordered_fn(a_chunk)(*args)
+        Cre, Cim, mm = _omega_bordered_fn(a_chunk, analytic)(*args)
     mm = np.asarray(mm).reshape(res, res).T
     if return_amplitudes:
         C = np.asarray(Cre) + 1j * np.asarray(Cim)

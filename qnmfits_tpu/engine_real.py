@@ -468,16 +468,34 @@ def _analytic_grams(times, wr, wi, t0c, W):
 
 
 def _geom_grams_core(dlt, K, wr, wi, s_b, m):
-    """Shared evaluation of the closed-form Grams: windows of m[b]
-    consecutive samples on a uniform grid (spacing dlt) whose first
-    sample sits at offset s_b[b] from the basis reference time.
+    """Pairwise-mode closed-form Grams: windows of m[b] consecutive
+    samples on a uniform grid (spacing dlt) whose first sample sits at
+    offset s_b[b] from the basis reference time.
     Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J)."""
-    J = wr.shape[0]
-    dtype = wr.dtype
-    nbits = max(1, int(np.ceil(np.log2(K + 1))))
-
     nu_re = wi[:, None] + wi[None, :]                     # (J, J)
     nu_im = wr[:, None] - wr[None, :]
+    return _geom_series_eval(dlt, K, nu_re[None], nu_im[None],
+                             s_b[:, None, None], m[:, None, None])
+
+
+def _geom_series_eval(dlt, K, nu_re, nu_im, s, m):
+    """Closed-form windowed exponential sums for ARBITRARY nu arrays.
+
+    With z = e^{nu dlt},
+
+        Gt = e^{nu s} (z^m - 1)/(z - 1)
+
+    (the sum of m consecutive samples of e^{nu t} starting at offset s
+    from the basis reference), and Gtau the trapezoid-weighted sum
+    dlt*(Gt - (first + last terms)/2).  nu_re/nu_im are arrays of any
+    shape; s (float) and m (integer) broadcast against them.  K bounds
+    the admissible m (sets the bit count of the power decomposition).
+
+    Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each of the broadcast
+    shape.
+    """
+    dtype = nu_re.dtype
+    nbits = max(1, int(np.ceil(np.log2(K + 1))))
 
     # u(z) = e^{nu dlt} - 1 via complex expm1 (small argument).
     ex = jnp.exp(nu_re * dlt)
@@ -485,14 +503,13 @@ def _geom_grams_core(dlt, K, wr, wi, s_b, m):
               - 2.0 * ex * jnp.sin(nu_im * dlt * 0.5) ** 2)
     den_im = ex * jnp.sin(nu_im * dlt)
 
-    # Leading factor F = e^{nu s_b} multiplies EVERY term of its Gram
+    # Leading factor F = e^{nu s} multiplies EVERY term of its Gram
     # entry, so it needs full RELATIVE precision even when tiny (fast
     # modes deep into a chunk: |F| ~ e^{-2|Im w| chunk-span}); a u-form
     # reconstruction z^n = u + 1 would bottom out at absolute eps.
-    # Direct exp keeps eps-relative accuracy at any magnitude -- three
-    # transcendental (Bc, J, J) arrays per chunk.
-    arg_re = nu_re[None] * s_b[:, None, None]
-    arg_im = nu_im[None] * s_b[:, None, None]
+    # Direct exp keeps eps-relative accuracy at any magnitude.
+    arg_re = nu_re * s
+    arg_im = nu_im * s
     e0 = jnp.exp(arg_re)
     F_re = e0 * jnp.cos(arg_im)
     F_im = e0 * jnp.sin(arg_im)
@@ -500,12 +517,14 @@ def _geom_grams_core(dlt, K, wr, wi, s_b, m):
     # u(z^m) by bit decomposition of the sample count m; here u ~ -1
     # (decayed windows) only ever feeds z^m - 1 itself, where absolute
     # eps IS relative eps.
-    Bc = s_b.shape[0]
-    usq_re, usq_im = den_re, den_im                       # u(z^{2^i})
-    um_re = jnp.zeros((Bc, J, J), dtype)
-    um_im = jnp.zeros((Bc, J, J), dtype)
+    shape = jnp.broadcast_shapes(nu_re.shape, nu_im.shape,
+                                 np.shape(s), np.shape(m))
+    usq_re, usq_im = (jnp.broadcast_to(den_re, shape),
+                      jnp.broadcast_to(den_im, shape))    # u(z^{2^i})
+    um_re = jnp.zeros(shape, dtype)
+    um_im = jnp.zeros(shape, dtype)
     for i in range(nbits):
-        bm = ((m >> i) & 1).astype(dtype)[:, None, None]
+        bm = ((m >> i) & 1).astype(dtype)
         cm_re = um_re * usq_re - um_im * usq_im + usq_re
         cm_im = um_re * usq_im + um_im * usq_re + usq_im
         um_re = um_re + bm * cm_re
@@ -522,9 +541,9 @@ def _geom_grams_core(dlt, K, wr, wi, s_b, m):
     d2s = dsr * dsr + dsi * dsi
     S_re = (um_re * dsr + um_im * dsi) / d2s
     S_im = (um_im * dsr - um_re * dsi) / d2s
-    mf = m.astype(dtype)[:, None, None]
-    S_re = jnp.where(safe[None], S_re, mf)
-    S_im = jnp.where(safe[None], S_im, 0.0)
+    mf = (m * jnp.ones(shape, jnp.int32)).astype(dtype)
+    S_re = jnp.where(safe, S_re, mf)
+    S_im = jnp.where(safe, S_im, 0.0)
 
     Gt_re = F_re * S_re - F_im * S_im
     Gt_im = F_re * S_im + F_im * S_re
@@ -534,11 +553,11 @@ def _geom_grams_core(dlt, K, wr, wi, s_b, m):
     zm_re, zm_im = um_re + 1.0, um_im
     z_re, z_im = den_re + 1.0, den_im
     z2 = z_re * z_re + z_im * z_im
-    zb_re = (zm_re * z_re[None] + zm_im * z_im[None]) / z2[None]
-    zb_im = (zm_im * z_re[None] - zm_re * z_im[None]) / z2[None]
+    zb_re = (zm_re * z_re + zm_im * z_im) / z2
+    zb_im = (zm_im * z_re - zm_re * z_im) / z2
     tb_re = F_re * zb_re - F_im * zb_im
     tb_im = F_re * zb_im + F_im * zb_re
-    nonempty = (m > 0).astype(dtype)[:, None, None]
+    nonempty = (m > 0).astype(dtype) * jnp.ones(shape, dtype)
     Gtau_re = dlt * (Gt_re - 0.5 * (F_re + tb_re)) * nonempty
     Gtau_im = dlt * (Gt_im - 0.5 * (F_im + tb_im)) * nonempty
     return Gt_re, Gt_im, Gtau_re, Gtau_im
@@ -1141,9 +1160,6 @@ def _omega_border_apply(prep, Pf, Qf, Ef2):
      Gt_re, Gt_im, data_norm) = prep
     Jf = Di.shape[0]
     Qc = Pf.shape[0]
-    dtype = Pf.dtype
-    eps = jnp.finfo(dtype).eps
-    tiny = jnp.finfo(dtype).tiny
 
     # One (2Qc, K) @ (K, 4Jf+4) matmul for every cross quantity.
     Z = jnp.concatenate([Pf, Qf], axis=0) @ Mcross
@@ -1161,6 +1177,25 @@ def _omega_border_apply(prep, Pf, Qf, Ef2):
     GamT = Ef2 @ WT                                        # (Qc, 2)
     gam = GamT[:, 0]
     gamt = GamT[:, 1]
+
+    return _omega_border_solve(prep, g_re, g_im, gt_re_c, gt_im_c,
+                               bet_re, bet_im, btau_re, btau_im,
+                               gam, gamt)
+
+
+def _omega_border_solve(prep, g_re, g_im, gt_re_c, gt_im_c, bet_re,
+                        bet_im, btau_re, btau_im, gam, gamt):
+    """Bordered block-elimination solve + mismatch from the per-point
+    cross pieces: fixed-free cross Grams g/gt (Qc, Jf), free-column
+    data projections bet/btau (Qc,), and free-column norms gam/gamt
+    (Qc,).  Shared by the summation (_omega_border_apply) and analytic
+    (sweep analytic=True) cross-piece paths."""
+    (dt, tau, w, Mcross, WT, Di, dead, maxdiag, floor,
+     Linv_re, Linv_im, e_re, e_im, y_re, y_im, rt_re, rt_im,
+     Gt_re, Gt_im, data_norm) = prep
+    dtype = g_re.dtype
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
 
     # Border equilibration + dead handling.
     sf = 1.0 / jnp.sqrt(jnp.maximum(gam, tiny))
@@ -1211,7 +1246,8 @@ def _omega_border_apply(prep, Pf, Qf, Ef2):
 
 
 def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,
-                                   im_axis, t0, w, a_chunk: int = 8):
+                                   im_axis, t0, w, a_chunk: int = 8,
+                                   analytic: bool = False):
     """The bordered sweep on a SEPARABLE (Re omega) x (Im omega) grid.
 
     The free column factorises: exp(-i w_q (t-t0)) =
@@ -1220,10 +1256,20 @@ def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,
     of the general kernel on the f64-emulating TPU backend.  Grid order
     matches meshgrid(re, im, indexing='ij').ravel(): q = a*B + b.
 
+    analytic=True (uniform time grids only; callers gate on measured
+    spacing): the fixed-free cross Grams g/gt and the free-column norms
+    gam/gamt become closed-form geometric series (PERF.md section 20) --
+    nu = i(conj(w_fixed,j) - w_q) separates over the grid, so the
+    transcendentals stay (A+B)-sized -- and the remaining summations
+    (the 4 data projections) run as separable (ac, K) @ (K, 4B)
+    matmuls, eliminating the (2Qc, K) @ (K, 4Jf+4) cross matmul and the
+    (Qc, K) free-column phase materialisation entirely.
+
     Returns (Cre (A*B, Jf+1), Cim, mm (A*B,)).
     """
     prep = _omega_border_prep(times, d_re, d_im, wr, wi, t0, w)
     dt = prep[0]
+    tau = prep[1]
     Jf = wr.shape[0]
     A = re_axis.shape[0]
     Bn = im_axis.shape[0]
@@ -1232,14 +1278,57 @@ def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,
     Ef = jnp.exp(im_axis[:, None] * dt[None, :])           # (B, K)
     Ef2 = Ef * Ef
 
+    if analytic:
+        # Window scalars from the indicator (exact for 'geq' AND
+        # 'closest' windows, as in _analytic_gram_window).
+        wint = (w > 0.5).astype(jnp.int32)
+        m = jnp.sum(wint)
+        a_first = jnp.sum(jnp.cumsum(wint) == 0)
+        dlt = times[1] - times[0]
+        s = jnp.where(
+            m > 0, times[0] + a_first.astype(times.dtype) * dlt - t0, 0.0)
+
+        # Free-column norms: nu = 2 Im w_q is real and a-independent.
+        gam_b, _, gamt_b, _ = _geom_series_eval(
+            dlt, K, 2.0 * im_axis, jnp.zeros_like(im_axis), s, m)  # (B,)
+
+        # Data projections as separable matmuls: rows of Ydata are
+        # Ef_b * v for v in {w d_re, w d_im, tau d_re, tau d_im}.
+        V = jnp.stack([d_re * w, d_im * w, d_re * tau, d_im * tau])
+        Ydata = (Ef[None] * V[:, None, :]).reshape(4 * Bn, K)
+
     def one_a_chunk(ra):
+        ac = ra.shape[0]
         ph = ra[:, None] * dt[None, :]                     # (ac, K)
         Ca = jnp.cos(ph)
         Sa = jnp.sin(ph)
+        if analytic:
+            # Cross Grams: nu_re (1, B, Jf) x nu_im (ac, 1, Jf) keeps
+            # every transcendental separable inside _geom_series_eval.
+            nu_re = (wi[None, :] + im_axis[:, None])[None]
+            nu_im = (wr[None, None, :] - ra[:, None, None])
+            g3_re, g3_im, gt3_re, gt3_im = _geom_series_eval(
+                dlt, K, nu_re, nu_im, s, m)
+            g_re = g3_re.reshape(ac * Bn, Jf)              # Jf may be 0
+            g_im = g3_im.reshape(ac * Bn, Jf)
+            gt_re_c = gt3_re.reshape(ac * Bn, Jf)
+            gt_im_c = gt3_im.reshape(ac * Bn, Jf)
+
+            Zc = Ca @ Ydata.T                              # (ac, 4B)
+            Zs = Sa @ Ydata.T
+            bet_re = (Zc[:, :Bn] - Zs[:, Bn:2 * Bn]).reshape(-1)
+            bet_im = (Zc[:, Bn:2 * Bn] + Zs[:, :Bn]).reshape(-1)
+            btau_re = (Zc[:, 2 * Bn:3 * Bn] - Zs[:, 3 * Bn:]).reshape(-1)
+            btau_im = (Zc[:, 3 * Bn:] + Zs[:, 2 * Bn:3 * Bn]).reshape(-1)
+
+            gam = jnp.broadcast_to(gam_b[None], (ac, Bn)).reshape(-1)
+            gamt = jnp.broadcast_to(gamt_b[None], (ac, Bn)).reshape(-1)
+            return _omega_border_solve(prep, g_re, g_im, gt_re_c,
+                                       gt_im_c, bet_re, bet_im,
+                                       btau_re, btau_im, gam, gamt)
         Pf = (Ca[:, None, :] * Ef[None, :, :]).reshape(-1, K)
         Qf = (-Sa[:, None, :] * Ef[None, :, :]).reshape(-1, K)
-        Ef2b = jnp.broadcast_to(Ef2[None], (ra.shape[0], Bn, K)
-                                ).reshape(-1, K)
+        Ef2b = jnp.broadcast_to(Ef2[None], (ac, Bn, K)).reshape(-1, K)
         return _omega_border_apply(prep, Pf, Qf, Ef2b)
 
     pad = (-A) % a_chunk

@@ -438,7 +438,8 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
 
 def sharded_omega_grid_bordered(times, d_re, d_im, wr, wi, re_axis,
                                 im_axis, t0, w, mesh: Mesh,
-                                a_chunk: int = 8):
+                                a_chunk: int = 8,
+                                analytic: bool = False):
     """Bordered free-frequency grid sharded over 'sweep': the Re axis is
     data-parallel across devices; the shared fixed-block prep (one small
     factorisation) is recomputed per device -- far cheaper than
@@ -464,7 +465,8 @@ def sharded_omega_grid_bordered(times, d_re, d_im, wr, wi, re_axis,
     def run(times_, dre_, dim_, wr_, wi_, re_loc, im_, w_):
         return sweep_omega_grid_bordered_real(times_, dre_, dim_, wr_,
                                               wi_, re_loc, im_, t0, w_,
-                                              a_chunk=a_chunk)
+                                              a_chunk=a_chunk,
+                                              analytic=analytic)
 
     Cre, Cim, mm = jax.jit(run)(
         np.asarray(times), np.asarray(d_re), np.asarray(d_im),

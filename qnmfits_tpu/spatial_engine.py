@@ -418,8 +418,10 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
                 f"engine='{engine}' supports t0_method='geq' only")
         if np.any(np.diff(t0s) < 0):
             raise ValueError("t0_array must be sorted ascending")
-        from .batched import _safe_chunk, _t0_sweep_fast_fn
+        from .batched import _safe_chunk, _t0_sweep_fast_fn, \
+            _uniform_spacing
         chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
+        analytic = _uniform_spacing(times)
         args = (times, rows.real.copy(), rows.imag.copy(),
                 omega.real.copy(), omega.imag.copy(),
                 mu.real.copy(), mu.imag.copy(), t0s, Ts)
@@ -428,9 +430,9 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
             if mesh is None or mesh == "auto":
                 mesh = sweep_mesh(n_time=1)
             Cre, Cim, mm = sharded_t0_sweep_factored(
-                *args, mesh=mesh, chunk=chunk)
+                *args, mesh=mesh, chunk=chunk, analytic=analytic)
         else:
-            Cre, Cim, mm = _t0_sweep_fast_fn(chunk)(*args)
+            Cre, Cim, mm = _t0_sweep_fast_fn(chunk, analytic)(*args)
         mm = np.asarray(mm)
         if return_amplitudes:
             return mm, np.asarray(Cre) + 1j * np.asarray(Cim)

@@ -74,11 +74,23 @@ def main():
         print(f"bordered a_chunk={a_chunk:3d}:    {t_b*1e3:8.1f} ms "
               f"({Q/t_b:,.0f} fits/s, {t_base/t_b:4.1f}x)")
 
+    # -- analytic cross Grams (PERF.md section 20) ----------------------
+    for a_chunk in (4, 8, 16, 50):
+        fn = jax.jit(lambda *a, c=a_chunk:
+                     sweep_omega_grid_bordered_real(*a, a_chunk=c,
+                                                    analytic=True))
+        t_a, out_a = timed(fn, times, data.real.copy(), data.imag.copy(),
+                           wr, wi, re_axis, im_axis, t0, w)
+        print(f"analytic a_chunk={a_chunk:3d}:    {t_a*1e3:8.1f} ms "
+              f"({Q/t_a:,.0f} fits/s, {t_base/t_a:4.1f}x)")
+
     # equality spot check on this workload
     _, out = timed(jax.jit(lambda *a:
                            sweep_omega_grid_bordered_real(*a, a_chunk=8)),
                    times, data.real.copy(), data.imag.copy(),
                    wr, wi, re_axis, im_axis, t0, w)
+    print("max |mm_analytic - mm_bordered| =",
+          np.max(np.abs(np.asarray(out_a[-1]) - np.asarray(out[-1]))))
     _, base = timed(base_fn, times, data.real[None].copy(),
                     data.imag[None].copy(), omegas.real.copy(),
                     omegas.imag.copy(), mus.real.copy(),

@@ -820,6 +820,55 @@ class TestAnalyticGram:
             np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
                                        rtol=0, atol=1e-12)
 
+    def test_bordered_kernel_matches_summation(self, syn):
+        """analytic=True == analytic=False on the bordered free-omega
+        kernel (closed-form cross Grams + separable data projections),
+        physical fixed block, 'geq' and 'closest' windows, ragged
+        a_chunk."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine_real import sweep_omega_grid_bordered_real
+        from qnmfits_tpu.ops.windows import window_closest, window_geq
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        wf = np.array(get_qnm().omega_list(syn["modes"][:2], syn["chif"],
+                                           syn["Mf"]))
+        t = np.asarray(syn["times"], float)
+        d = np.asarray(syn["data"])
+        re_axis = jnp.asarray(np.linspace(0.3, 0.8, 7))
+        im_axis = jnp.asarray(np.linspace(-0.4, -0.05, 5))
+        for window, t0 in ((window_geq, 5.0), (window_closest, 5.03)):
+            w = jnp.asarray(np.asarray(window(t, t0, 80.0), float))
+            args = (t, d.real, d.imag, wf.real.copy(), wf.imag.copy(),
+                    re_axis, im_axis, t0, w)
+            out_m = sweep_omega_grid_bordered_real(*args, a_chunk=3,
+                                                   analytic=False)
+            out_a = sweep_omega_grid_bordered_real(*args, a_chunk=3,
+                                                   analytic=True)
+            for x_m, x_a in zip(out_m, out_a):
+                np.testing.assert_allclose(
+                    np.asarray(x_a), np.asarray(x_m), rtol=0, atol=1e-11)
+
+    def test_bordered_kernel_no_fixed_modes(self, syn):
+        """Jf=0: the analytic bordered path degenerates to the pure
+        free-column fit and still matches the summation path."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine_real import sweep_omega_grid_bordered_real
+
+        t = np.asarray(syn["times"], float)
+        d = np.asarray(syn["data"])
+        t0 = 5.0
+        w = jnp.asarray(((t >= t0) & (t < t0 + 80.0)).astype(float))
+        args = (t, d.real, d.imag, np.zeros(0), np.zeros(0),
+                jnp.asarray(np.linspace(0.3, 0.8, 5)),
+                jnp.asarray(np.linspace(-0.4, -0.05, 4)), t0, w)
+        out_m = sweep_omega_grid_bordered_real(*args, a_chunk=2,
+                                               analytic=False)
+        out_a = sweep_omega_grid_bordered_real(*args, a_chunk=2,
+                                               analytic=True)
+        for x_m, x_a in zip(out_m, out_a):
+            np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
+                                       rtol=0, atol=1e-11)
+
     def test_grid_kernel_matches_summation(self, syn):
         """analytic=True == analytic=False on the spectrum-batched grid
         kernel, for 'geq' AND 'closest' windows (the window start is
