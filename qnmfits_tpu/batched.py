@@ -1001,10 +1001,11 @@ def _event_batch_fn(modes, t0_method, precision, chunk):
 
 
 @lru_cache(maxsize=16)
-def _event_batch_fast_fn(chunk):
+def _event_batch_fast_fn(chunk, analytic=False):
     from .engine_real import sweep_events_real
 
-    return jax.jit(lambda *a: sweep_events_real(*a, chunk=chunk))
+    return jax.jit(lambda *a: sweep_events_real(
+        *a, chunk=chunk, analytic=analytic))
 
 
 def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
@@ -1056,6 +1057,9 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
         ev = SpectrumEvaluator(list(_canon(modes)))
         with _on_host():
             omegas = np.asarray(ev.omega(chifs, _e(Mf)).T)   # (E, J)
+        # Per-item Gram trade (PERF.md section 19): closed-form Grams
+        # on TPU-class backends, summation matmuls on CPU.
+        analytic = _uniform_spacing(times) and _accel_backend()
         args = (times, rows.real.copy(), rows.imag.copy(),
                 omegas.real.copy(), omegas.imag.copy(), _e(t0), _e(T))
         if mesh is not None:
@@ -1063,9 +1067,10 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
             if mesh == "auto":
                 mesh = sweep_mesh(n_time=1)
             Cre, Cim, mm = sharded_event_batch(*args, mesh=mesh,
-                                               chunk=chunk)
+                                               chunk=chunk,
+                                               analytic=analytic)
         else:
-            Cre, Cim, mm = _event_batch_fast_fn(chunk)(*args)
+            Cre, Cim, mm = _event_batch_fast_fn(chunk, analytic)(*args)
         return np.asarray(mm), np.asarray(Cre) + 1j * np.asarray(Cim)
     fn = _event_batch_fn(_canon(modes), t0_method, precision, int(chunk))
     C, mm = fn(*_put((times, rows, _e(Mf), chifs, _e(t0), _e(T)),

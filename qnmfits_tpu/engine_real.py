@@ -1011,10 +1011,14 @@ def sweep_spectra_blocked_real(times, dre, dim, wrs, wis, mres, mims, t0,
 
 
 def sweep_events_real(times, dres, dims, wrs, wis, t0s, Ts,
-                      chunk: int = 64):
+                      chunk: int = 64, analytic: bool = False):
     """Per-EVENT fit batch, all-real: each event has its own data row,
     spectrum, and window (the catalog-serving kernel behind
     batched.batch_fit_events(engine='fast')).
+
+    analytic=True (uniform time grids only; callers gate on measured
+    spacing and backend, as for sweep_spectra_real): each event's Gram
+    assemblies become closed-form geometric series.
 
     times (K,); dres/dims (E, K); wrs/wis (E, J); t0s/Ts (E,).
     Returns (Cre (E, J), Cim (E, J), mm (E,)).
@@ -1029,7 +1033,7 @@ def sweep_events_real(times, dres, dims, wrs, wis, t0s, Ts,
         dre, dim, wr, wi, t0, T = args
         w = window_geq(times, t0, T).astype(times.dtype)
         return fit_core_real(times, dre[None, :], dim[None, :], wr, wi,
-                             ones, zeros, t0, w)
+                             ones, zeros, t0, w, analytic=analytic)
 
     return jax.lax.map(one, (dres, dims, wrs, wis, t0s, Ts),
                        batch_size=chunk)

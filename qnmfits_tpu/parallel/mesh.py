@@ -519,7 +519,8 @@ def sharded_t0_sweep_modesets_dynamic(times, dre, dim, wr_ts, wi_ts,
 
 
 def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
-                        mesh: Mesh, chunk: int = 64):
+                        mesh: Mesh, chunk: int = 64,
+                        analytic: bool = False):
     """Per-event fit batch sharded over 'sweep': catalog-population DP
     on the SPLIT-COMPLEX kernel (TPU-mesh safe -- per-event spectra are
     spline-evaluated host-side by the caller; no complex dtype or x64
@@ -546,7 +547,8 @@ def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
     )
     def run(times_, dres_, dims_, wrs_, wis_, t0_loc, T_loc):
         return sweep_events_real(times_, dres_, dims_, wrs_, wis_,
-                                 t0_loc, T_loc, chunk=chunk)
+                                 t0_loc, T_loc, chunk=chunk,
+                                 analytic=analytic)
 
     Cre, Cim, mm = jax.jit(run)(np.asarray(times), dres_p, dims_p,
                                 wrs_p, wis_p, t0s_p, Ts_p)

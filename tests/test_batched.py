@@ -901,6 +901,32 @@ class TestAnalyticGram:
                 np.testing.assert_allclose(
                     np.asarray(x_a), np.asarray(x_m), rtol=0, atol=1e-12)
 
+    def test_event_kernel_matches_summation(self, syn):
+        """analytic=True == analytic=False on the per-event fit batch
+        (each event with its own data, spectrum and window)."""
+        from qnmfits_tpu.engine_real import sweep_events_real
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        t = np.asarray(syn["times"], float)
+        rng = np.random.default_rng(23)
+        E, J = 5, 3
+        base = np.array(get_qnm().omega_list(syn["modes"][:J],
+                                             syn["chif"], syn["Mf"]))
+        wrs = np.stack([base.real * s for s in
+                        np.linspace(0.9, 1.1, E)])
+        wis = np.stack([base.imag * s for s in
+                        np.linspace(0.9, 1.1, E)])
+        dres = rng.normal(size=(E, t.size))
+        dims = rng.normal(size=(E, t.size))
+        t0s = np.linspace(0.0, 12.0, E)
+        Ts = np.linspace(50.0, 90.0, E)
+        args = (t, dres, dims, wrs, wis, t0s, Ts)
+        out_m = sweep_events_real(*args, chunk=2, analytic=False)
+        out_a = sweep_events_real(*args, chunk=2, analytic=True)
+        for x_m, x_a in zip(out_m, out_a):
+            np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
+                                       rtol=0, atol=1e-12)
+
     def test_nonuniform_grid_falls_back_M_chi(self, syn):
         """A non-uniform grid keeps the summation path on the M-chi
         grid engine and still matches the x64 batched engine."""
