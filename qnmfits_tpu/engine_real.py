@@ -610,18 +610,42 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
     R2 = (P0[:, None, :] * dim.T[:, :, None]
           - Q0[:, None, :] * dre.T[:, :, None]).reshape(K, I * J)
 
-    # Window and trapezoid weights for every start time in the chunk.
+    # Window indicators for every start time in the chunk (the
+    # trapezoid weight matrix is only materialised on the summation
+    # path; the analytic path replaces every Tau contraction).
     W = ((times[None, :] >= t0c[:, None])
          & (times[None, :] < (t0c + Tc)[:, None])).astype(times.dtype)
-    dts = times[1:] - times[:-1]
-    seg = W[:, :-1] * W[:, 1:] * dts[None, :] * 0.5
-    zero = jnp.zeros((W.shape[0], 1), dtype=W.dtype)
-    Tau = (jnp.concatenate([seg, zero], axis=1)
-           + jnp.concatenate([zero, seg], axis=1))       # (Bc, K)
+    if not analytic:
+        dts = times[1:] - times[:-1]
+        seg = W[:, :-1] * W[:, 1:] * dts[None, :] * 0.5
+        zero = jnp.zeros((W.shape[0], 1), dtype=W.dtype)
+        Tau = (jnp.concatenate([seg, zero], axis=1)
+               + jnp.concatenate([zero, seg], axis=1))   # (Bc, K)
 
     if analytic:
         Gt_re, Gt_im, Gtau_re, Gtau_im = _analytic_grams(
             times, wr, wi, t0c, W)
+        # Trapezoid projections from the window-sum projections: on a
+        # uniform grid with contiguous windows, Tau = dlt*W minus
+        # (dlt/2) at the two window-edge samples, so Tau @ R =
+        # dlt*(W @ R) - (dlt/2)*(R[first] + R[last]) -- two row gathers
+        # instead of a second (Bc, K) @ (K, .) matmul.
+        S2 = jnp.sum(dre * dre + dim * dim, axis=0)       # (K,)
+        R = jnp.concatenate([R1, R2, S2[:, None]], axis=1)
+        WR = W @ R                                        # (Bc, 2IJ+1)
+        a_w = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
+                      axis=1)
+        m_w = jnp.sum(W.astype(jnp.int32), axis=1)
+        e_w = jnp.clip(a_w + m_w - 1, 0, K - 1)
+        a_w = jnp.clip(a_w, 0, K - 1)
+        dlt = times[1] - times[0]
+        nonempty = (m_w > 0).astype(W.dtype)[:, None]
+        TR = (dlt * WR - 0.5 * dlt * (R[a_w] + R[e_w])) * nonempty
+        pd_re = WR[:, :I * J].reshape(-1, I, J)
+        pd_im = WR[:, I * J:2 * I * J].reshape(-1, I, J)
+        pdt_re = TR[:, :I * J].reshape(-1, I, J)
+        pdt_im = TR[:, I * J:2 * I * J].reshape(-1, I, J)
+        dnorm = TR[:, -1]
     else:
         # Pairwise products conj(phi0)_j phi0_l: A1 + i A2, (K, J*J).
         A1 = (P0[:, :, None] * P0[:, None, :]
@@ -634,11 +658,11 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         Gtau_re = (Tau @ A1).reshape(-1, J, J)
         Gtau_im = (Tau @ A2).reshape(-1, J, J)
 
-    pd_re = (W @ R1).reshape(-1, I, J)
-    pd_im = (W @ R2).reshape(-1, I, J)
-    pdt_re = (Tau @ R1).reshape(-1, I, J)
-    pdt_im = (Tau @ R2).reshape(-1, I, J)
-    dnorm = Tau @ jnp.sum(dre * dre + dim * dim, axis=0)  # (Bc,)
+        pd_re = (W @ R1).reshape(-1, I, J)
+        pd_im = (W @ R2).reshape(-1, I, J)
+        pdt_re = (Tau @ R1).reshape(-1, I, J)
+        pdt_im = (Tau @ R2).reshape(-1, I, J)
+        dnorm = Tau @ jnp.sum(dre * dre + dim * dim, axis=0)   # (Bc,)
 
     # Mixing factor (shared).
     M_re = mre.T @ mre + mim.T @ mim
