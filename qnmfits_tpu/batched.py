@@ -442,12 +442,17 @@ def _spectra_sweep_fn(chunk, analytic=False):
         *a, chunk=chunk, analytic=analytic))
 
 
-def _accel_backend():
+def _accel_backend(mesh=None):
     """True when the sweep dispatch target is an accelerator (not the
     x64 CPU backend).  Routing knob for trades that are measured
-    opposite ways on the two backends (PERF.md section 19)."""
+    opposite ways on the two backends (PERF.md section 19).  Pass the
+    resolved Mesh when one will run the sweep -- its devices, not the
+    process default backend, are what execute (the 8-device CPU-mesh
+    suite runs on a TPU-default host and vice versa)."""
     try:
-        return jax.devices()[0].platform != "cpu"
+        dev = (mesh.devices.flat[0] if mesh is not None
+               else jax.devices()[0])
+        return dev.platform != "cpu"
     except RuntimeError:
         return False
 
@@ -461,7 +466,6 @@ def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
     Gram assembly to the closed-form geometric-series path (PERF.md
     section 19); on CPU the per-item summation matmuls are measured
     faster and stay."""
-    analytic = _uniform_spacing(times) and _accel_backend()
     args = (np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
             omegas.real.copy(), omegas.imag.copy(),
             mus.real.copy(), mus.imag.copy(),
@@ -470,10 +474,12 @@ def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
         from .parallel.mesh import sharded_spectra_sweep, sweep_mesh
         if mesh == "auto":
             mesh = sweep_mesh(n_time=1)
+        analytic = _uniform_spacing(times) and _accel_backend(mesh)
         Cre, Cim, mm = sharded_spectra_sweep(*args, mesh=mesh,
                                              chunk=chunk,
                                              analytic=analytic)
     else:
+        analytic = _uniform_spacing(times) and _accel_backend()
         Cre, Cim, mm = _spectra_sweep_fn(chunk, analytic)(*args)
     return np.asarray(Cre) + 1j * np.asarray(Cim), np.asarray(mm)
 
@@ -1059,17 +1065,18 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
             omegas = np.asarray(ev.omega(chifs, _e(Mf)).T)   # (E, J)
         # Per-item Gram trade (PERF.md section 19): closed-form Grams
         # on TPU-class backends, summation matmuls on CPU.
-        analytic = _uniform_spacing(times) and _accel_backend()
         args = (times, rows.real.copy(), rows.imag.copy(),
                 omegas.real.copy(), omegas.imag.copy(), _e(t0), _e(T))
         if mesh is not None:
             from .parallel.mesh import sharded_event_batch, sweep_mesh
             if mesh == "auto":
                 mesh = sweep_mesh(n_time=1)
+            analytic = _uniform_spacing(times) and _accel_backend(mesh)
             Cre, Cim, mm = sharded_event_batch(*args, mesh=mesh,
                                                chunk=chunk,
                                                analytic=analytic)
         else:
+            analytic = _uniform_spacing(times) and _accel_backend()
             Cre, Cim, mm = _event_batch_fast_fn(chunk, analytic)(*args)
         return np.asarray(mm), np.asarray(Cre) + 1j * np.asarray(Cim)
     fn = _event_batch_fn(_canon(modes), t0_method, precision, int(chunk))

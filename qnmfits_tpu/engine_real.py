@@ -422,7 +422,7 @@ def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
 # window in the chunk (t0_b >= tref), so their weights are zero and the
 # clamp is exact.
 
-def _analytic_grams(times, wr, wi, t0c, W):
+def _analytic_grams(times, wr, wi, t0c, W, a=None, m=None):
     """Closed-form window Grams on a UNIFORM time grid (geq windows).
 
     Each Gram entry sums a geometric series: with
@@ -447,24 +447,47 @@ def _analytic_grams(times, wr, wi, t0c, W):
 
     Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J).
     """
-    dtype = times.dtype
-    dlt = times[1] - times[0]
+    K = times.shape[0]
     tref = t0c[0]
 
-    a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
-                axis=1)                                   # (Bc,) first index
-    m = jnp.sum(W.astype(jnp.int32), axis=1)              # (Bc,) count
-    a0 = a[0]                                             # t0c sorted
-    n = a - a0
-    t_a0 = times[0] + a0.astype(dtype) * dlt              # first sample of
-                                                          # the chunk's first
-                                                          # window
-    # s >= 0 whenever tref lies inside the grid; the clamp only guards
-    # pathological all-empty chunks (t0 beyond the last sample), where
-    # m = 0 zeroes the Gram anyway -- without it exp could overflow to
-    # inf and poison that zero with NaN.
-    s_b = jnp.maximum((t_a0 - tref) + n.astype(dtype) * dlt, 0.0)
-    return _geom_grams_core(dlt, times.shape[0], wr, wi, s_b, m)
+    if a is None:
+        a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
+                    axis=1)                               # (Bc,) first index
+    if m is None:
+        m = jnp.sum(W.astype(jnp.int32), axis=1)          # (Bc,) count
+    # Window starts GATHERED from the actual grid (reconstructing them
+    # as times[0] + a*dlt would drift by a * (step error): a grid that
+    # just passes the _uniform_spacing gate could then exceed the
+    # 1e-11 parity bar at the far end).  s >= 0 whenever tref lies
+    # inside the grid; the clamp only guards pathological all-empty
+    # chunks (t0 beyond the last sample), where m = 0 zeroes the Gram
+    # anyway -- without it exp could overflow to inf and poison that
+    # zero with NaN.
+    s_b = jnp.maximum(
+        jnp.take(jnp.asarray(times), jnp.clip(a, 0, K - 1)) - tref, 0.0)
+    return _geom_grams_core(_fitted_step(times), K, wr, wi, s_b, m)
+
+
+def _fitted_step(times):
+    """The least-drift uniform step (t[-1] - t[0])/(K - 1): the step of
+    the ideal grid `_uniform_spacing` certified, so the geometric
+    factor's per-sample error stays at the gate tolerance instead of
+    K times the first-step error."""
+    return (times[-1] - times[0]) / (times.shape[0] - 1)
+
+
+def _window_scalars(times, w, t0):
+    """(s, m) for ONE window from its indicator: offset of the first
+    in-window sample from t0 (gathered from the actual grid) and the
+    sample count.  Exact for 'geq' AND 'closest' windows (the first
+    sample may precede t0 by up to dlt/2)."""
+    K = times.shape[0]
+    wint = (w > 0.5).astype(jnp.int32)
+    m = jnp.sum(wint)
+    a = jnp.sum(jnp.cumsum(wint) == 0)                    # leading zeros
+    t_first = jnp.take(jnp.asarray(times), jnp.clip(a, 0, K - 1))
+    s = jnp.where(m > 0, t_first - t0, 0.0)
+    return s, m
 
 
 def _geom_grams_core(dlt, K, wr, wi, s_b, m):
@@ -524,13 +547,20 @@ def _geom_series_eval(dlt, K, nu_re, nu_im, s, m):
     um_re = jnp.zeros(shape, dtype)
     um_im = jnp.zeros(shape, dtype)
     for i in range(nbits):
-        bm = ((m >> i) & 1).astype(dtype)
+        # where (not bm-multiply): for GROWING modes (nu_re > 0, e.g. a
+        # free-frequency scan crossing Im omega = 0) a ladder level
+        # above m's top bit can overflow to inf, and 0*inf would poison
+        # um with NaN even though the consumed levels are all finite
+        # (z^m itself is bounded by the summation path's largest term).
+        bit = ((m >> i) & 1) > 0
         cm_re = um_re * usq_re - um_im * usq_im + usq_re
         cm_im = um_re * usq_im + um_im * usq_re + usq_im
-        um_re = um_re + bm * cm_re
-        um_im = um_im + bm * cm_im
-        usq_re, usq_im = (usq_re * usq_re - usq_im * usq_im + 2.0 * usq_re,
-                          2.0 * usq_re * usq_im + 2.0 * usq_im)
+        um_re = um_re + jnp.where(bit, cm_re, 0.0)
+        um_im = um_im + jnp.where(bit, cm_im, 0.0)
+        if i < nbits - 1:                        # last level never squared
+            usq_re, usq_im = (
+                usq_re * usq_re - usq_im * usq_im + 2.0 * usq_re,
+                2.0 * usq_re * usq_im + 2.0 * usq_im)
 
     # Geometric sum S_m = u(z^m)/u(z); nu == 0 (padded columns and their
     # diagonal) has the exact limit S_m = m.
@@ -573,14 +603,9 @@ def _analytic_gram_window(times, wr, wi, t0, w):
     to dlt/2 are exact too (|F| <= e^{|nu| dlt/2} ~ 1 there -- no
     overflow risk).  Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), (J, J).
     """
-    wint = (w > 0.5).astype(jnp.int32)
-    m = jnp.sum(wint)
-    a = jnp.sum(jnp.cumsum(wint) == 0)                    # leading zeros
-    dlt = times[1] - times[0]
-    s = jnp.where(m > 0,
-                  times[0] + a.astype(times.dtype) * dlt - t0, 0.0)
+    s, m = _window_scalars(times, w, t0)
     Gt_re, Gt_im, Gtau_re, Gtau_im = _geom_grams_core(
-        dlt, times.shape[0], wr, wi, s[None], m[None])
+        _fitted_step(times), times.shape[0], wr, wi, s[None], m[None])
     return Gt_re[0], Gt_im[0], Gtau_re[0], Gtau_im[0]
 
 
@@ -623,8 +648,11 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
                + jnp.concatenate([zero, seg], axis=1))   # (Bc, K)
 
     if analytic:
+        a_w = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
+                      axis=1)
+        m_w = jnp.sum(W.astype(jnp.int32), axis=1)
         Gt_re, Gt_im, Gtau_re, Gtau_im = _analytic_grams(
-            times, wr, wi, t0c, W)
+            times, wr, wi, t0c, W, a=a_w, m=m_w)
         # Trapezoid projections from the window-sum projections: on a
         # uniform grid with contiguous windows, Tau = dlt*W minus
         # (dlt/2) at the two window-edge samples, so Tau @ R =
@@ -633,12 +661,9 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
         S2 = jnp.sum(dre * dre + dim * dim, axis=0)       # (K,)
         R = jnp.concatenate([R1, R2, S2[:, None]], axis=1)
         WR = W @ R                                        # (Bc, 2IJ+1)
-        a_w = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
-                      axis=1)
-        m_w = jnp.sum(W.astype(jnp.int32), axis=1)
         e_w = jnp.clip(a_w + m_w - 1, 0, K - 1)
         a_w = jnp.clip(a_w, 0, K - 1)
-        dlt = times[1] - times[0]
+        dlt = _fitted_step(times)
         nonempty = (m_w > 0).astype(W.dtype)[:, None]
         TR = (dlt * WR - 0.5 * dlt * (R[a_w] + R[e_w])) * nonempty
         pd_re = WR[:, :I * J].reshape(-1, I, J)
@@ -1309,12 +1334,8 @@ def sweep_omega_grid_bordered_real(times, d_re, d_im, wr, wi, re_axis,
     if analytic:
         # Window scalars from the indicator (exact for 'geq' AND
         # 'closest' windows, as in _analytic_gram_window).
-        wint = (w > 0.5).astype(jnp.int32)
-        m = jnp.sum(wint)
-        a_first = jnp.sum(jnp.cumsum(wint) == 0)
-        dlt = times[1] - times[0]
-        s = jnp.where(
-            m > 0, times[0] + a_first.astype(times.dtype) * dlt - t0, 0.0)
+        s, m = _window_scalars(times, w, t0)
+        dlt = _fitted_step(times)
 
         # Free-column norms: nu = 2 Im w_q is real and a-independent.
         gam_b, _, gamt_b, _ = _geom_series_eval(

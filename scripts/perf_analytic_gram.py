@@ -53,6 +53,30 @@ def main():
             mm_ref = mm0
     print(f"max |mm_analytic - mm_summation| = {dev_mm:.3e}")
 
+    # Chunk retune for the analytic path.  The Gram stage no longer
+    # consumes the chunk-span budget (its leading factor is a direct
+    # exp), but the PROJECTIONS still run in the chunk-referenced phi0
+    # basis, so _safe_chunk's |Im w|*span clamp still applies to them
+    # -- the dev column makes any overrun visible.
+    import os
+    if os.environ.get("CHUNK_SWEEP"):
+        for ck in (256, 512, 1024, 2048):
+            fn = jax.jit(
+                lambda *a, _c=ck: sweep_t0_modesets_factored_real(
+                    *a, chunk=_c, analytic=True))
+            _, _, mm = fn(*args)
+            np.asarray(mm)
+            reps = []
+            for _ in range(5):
+                t0_ = time.perf_counter()
+                _, _, mm = fn(*args)
+                np.asarray(mm)
+                reps.append(time.perf_counter() - t0_)
+            el = min(reps)
+            print(f"analytic chunk={ck:5d}: {el*1e3:7.1f} ms  "
+                  f"{n_fits/el:,.0f} fits/s  "
+                  f"dev={np.max(np.abs(np.asarray(mm) - mm_ref)):.2e}")
+
 
 if __name__ == "__main__":
     main()

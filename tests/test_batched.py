@@ -901,6 +901,67 @@ class TestAnalyticGram:
                 np.testing.assert_allclose(
                     np.asarray(x_a), np.asarray(x_m), rtol=0, atol=1e-12)
 
+    def test_barely_uniform_grid_stays_in_budget(self, syn):
+        """A grid that JUST passes the _uniform_spacing gate (first
+        step perturbed by 0.9x the tolerance) must still meet the
+        1e-11 bar: the analytic kernels gather window starts from the
+        actual grid and use the fitted step, so the reconstruction
+        error stays at the gate tolerance instead of K times it."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.batched import _uniform_spacing
+        from qnmfits_tpu.engine_real import sweep_t0_factored_real
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        t = np.linspace(-20.0, 180.0, 2001)
+        tol = 16 * np.finfo(float).eps * 180.0
+        t[1] += 0.9 * tol
+        assert _uniform_spacing(t)
+
+        w = np.array(get_qnm().omega_list(syn["modes"], syn["chif"],
+                                          syn["Mf"]))
+        rng = np.random.default_rng(5)
+        d = (rng.normal(size=t.size) + 1j * rng.normal(size=t.size))
+        t0s = np.linspace(0.0, 150.0, 9)          # far end included
+        args = (jnp.asarray(t), d.real[None, :], d.imag[None, :],
+                jnp.asarray(w.real), jnp.asarray(w.imag),
+                jnp.ones((1, w.size)), jnp.zeros((1, w.size)),
+                jnp.asarray(t0s), jnp.full(9, 40.0))
+        out_m = sweep_t0_factored_real(*args, chunk=4, analytic=False)
+        out_a = sweep_t0_factored_real(*args, chunk=4, analytic=True)
+        np.testing.assert_allclose(np.asarray(out_a[2]),
+                                   np.asarray(out_m[2]),
+                                   rtol=0, atol=1e-11)
+
+    def test_growing_mode_grid_stays_finite(self, syn):
+        """A free-frequency grid crossing Im omega = 0 into growing
+        modes: ladder levels above the window's top bit can overflow,
+        and the where-guarded bit recursion must keep the consumed
+        result finite and equal to the summation path."""
+        import jax.numpy as jnp
+        from qnmfits_tpu.engine_real import sweep_omega_grid_bordered_real
+        from qnmfits_tpu.ref_impl import get_qnm
+
+        wf = np.array(get_qnm().omega_list(syn["modes"][:1], syn["chif"],
+                                           syn["Mf"]))
+        t = np.asarray(syn["times"], float)
+        d = np.asarray(syn["data"])
+        t0 = 5.0
+        w = jnp.asarray(((t >= t0) & (t < t0 + 8.0)).astype(float))
+        # im up to +3.6: consumed terms stay ~e^{58}, but the unused
+        # top ladder level would reach ~e^{1440} without the guard.
+        re_axis = jnp.asarray(np.linspace(0.3, 0.7, 4))
+        im_axis = jnp.asarray(np.linspace(-0.2, 3.6, 6))
+        args = (t, d.real, d.imag, wf.real.copy(), wf.imag.copy(),
+                re_axis, im_axis, t0, w)
+        out_m = sweep_omega_grid_bordered_real(*args, a_chunk=2,
+                                               analytic=False)
+        out_a = sweep_omega_grid_bordered_real(*args, a_chunk=2,
+                                               analytic=True)
+        assert np.all(np.isfinite(np.asarray(out_a[2])))
+        np.testing.assert_allclose(np.asarray(out_a[2]),
+                                   np.asarray(out_m[2]),
+                                   rtol=0, atol=1e-10)
+
     def test_event_kernel_matches_summation(self, syn):
         """analytic=True == analytic=False on the per-event fit batch
         (each event with its own data, spectrum and window)."""
@@ -929,12 +990,17 @@ class TestAnalyticGram:
 
     def test_nonuniform_grid_falls_back_M_chi(self, syn):
         """A non-uniform grid keeps the summation path on the M-chi
-        grid engine and still matches the x64 batched engine."""
+        grid engine and still matches the x64 batched engine.  (The
+        M-chi analytic route is ALSO backend-gated -- off under this
+        CPU suite -- so the uniformity gate is asserted directly to
+        keep a mis-fire detectable here.)"""
         from qnmfits_tpu import ref_impl
+        from qnmfits_tpu.batched import _uniform_spacing
 
         rng = np.random.default_rng(3)
         t = np.asarray(syn["times"], float).copy()
         t[1:-1] += rng.uniform(-0.02, 0.02, t.size - 2)
+        assert not _uniform_spacing(t)
         freqs = syn["frequencies"]
         data = ref_impl.ringdown(t, 0.0, syn["amplitudes"], freqs)
         kw = dict(t0=5.0, T=80.0, res=4)
