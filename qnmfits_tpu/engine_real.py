@@ -501,7 +501,8 @@ def _geom_grams_core(dlt, K, wr, wi, s_b, m):
                              s_b[:, None, None], m[:, None, None])
 
 
-def _geom_series_eval(dlt, K, nu_re, nu_im, s, m):
+def _geom_series_eval(dlt, K, nu_re, nu_im, s, m,
+                      edge_first=None, edge_last=None):
     """Closed-form windowed exponential sums for ARBITRARY nu arrays.
 
     With z = e^{nu dlt},
@@ -513,6 +514,12 @@ def _geom_series_eval(dlt, K, nu_re, nu_im, s, m):
     dlt*(Gt - (first + last terms)/2).  nu_re/nu_im are arrays of any
     shape; s (float) and m (integer) broadcast against them.  K bounds
     the admissible m (sets the bit count of the power decomposition).
+
+    edge_first/edge_last (broadcastable, default 1) multiply the two
+    half-weight edge subtractions of Gtau: a TIME-SHARDED caller whose
+    local range covers only part of a window passes 0 for an edge that
+    is a shard boundary (full trapezoid weight there; the psum over
+    shards then reproduces the global trapezoid sum exactly).
 
     Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each of the broadcast
     shape.
@@ -588,8 +595,10 @@ def _geom_series_eval(dlt, K, nu_re, nu_im, s, m):
     tb_re = F_re * zb_re - F_im * zb_im
     tb_im = F_re * zb_im + F_im * zb_re
     nonempty = (m > 0).astype(dtype) * jnp.ones(shape, dtype)
-    Gtau_re = dlt * (Gt_re - 0.5 * (F_re + tb_re)) * nonempty
-    Gtau_im = dlt * (Gt_im - 0.5 * (F_im + tb_im)) * nonempty
+    ef = 1.0 if edge_first is None else edge_first
+    el = 1.0 if edge_last is None else edge_last
+    Gtau_re = dlt * (Gt_re - 0.5 * (ef * F_re + el * tb_re)) * nonempty
+    Gtau_im = dlt * (Gt_im - 0.5 * (ef * F_im + el * tb_im)) * nonempty
     return Gt_re, Gt_im, Gtau_re, Gtau_im
 
 

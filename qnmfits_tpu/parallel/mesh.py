@@ -557,7 +557,8 @@ def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
 
 def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
                                  Ts, mesh: Mesh, col_mask=None,
-                                 chunk: int = 64):
+                                 chunk: int = 64,
+                                 analytic: bool = False):
     """The factored t0 sweep with BOTH mesh axes live: windows sharded
     over 'sweep' AND the time-sample axis K sharded over 'time' with
     psum'd Gram contributions -- sequence parallelism for the
@@ -623,10 +624,11 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
             J = wr_.shape[0]
             I = dre_.shape[0]
             Kl = t_loc.shape[0]
-            A1 = (P0[:, :, None] * P0[:, None, :]
-                  + Q0[:, :, None] * Q0[:, None, :]).reshape(Kl, J * J)
-            A2 = (P0[:, :, None] * Q0[:, None, :]
-                  - Q0[:, :, None] * P0[:, None, :]).reshape(Kl, J * J)
+            if not analytic:
+                A1 = (P0[:, :, None] * P0[:, None, :]
+                      + Q0[:, :, None] * Q0[:, None, :]).reshape(Kl, J * J)
+                A2 = (P0[:, :, None] * Q0[:, None, :]
+                      - Q0[:, :, None] * P0[:, None, :]).reshape(Kl, J * J)
             R1 = (P0[:, None, :] * dre_.T[:, :, None]
                   + Q0[:, None, :] * dim_.T[:, :, None]).reshape(Kl, I * J)
             R2 = (P0[:, None, :] * dim_.T[:, :, None]
@@ -646,10 +648,47 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
             seg_prev = Wp * W * (t_loc - tp_loc)[None, :] * 0.5
             Tau = seg_prev + seg_next
 
-            Gt_re = jax.lax.psum(W @ A1, "time").reshape(-1, J, J)
-            Gt_im = jax.lax.psum(W @ A2, "time").reshape(-1, J, J)
-            Gtau_re = jax.lax.psum(Tau @ A1, "time").reshape(-1, J, J)
-            Gtau_im = jax.lax.psum(Tau @ A2, "time").reshape(-1, J, J)
+            if analytic:
+                # Per-shard closed-form Gram partials: the local
+                # in-window range is contiguous, so each shard's
+                # contribution is its own geometric series; the
+                # trapezoid half-weights are subtracted only at edges
+                # this shard OWNS globally (previous/next GLOBAL
+                # sample out-of-window, or a replicated grid edge
+                # where dt=0), so the psum reassembles the global
+                # trapezoid sum exactly.
+                from ..engine_real import _geom_series_eval
+                a_loc = jnp.sum(
+                    (t_loc[None, :] < t0c[:, None]).astype(jnp.int32),
+                    axis=1)
+                m_loc = jnp.sum(W.astype(jnp.int32), axis=1)
+                ai = jnp.clip(a_loc, 0, Kl - 1)
+                ei = jnp.clip(a_loc + m_loc - 1, 0, Kl - 1)
+                s_loc = jnp.maximum(jnp.take(t_loc, ai) - tref, 0.0)
+                prev_in = jnp.take_along_axis(Wp, ai[:, None], 1)[:, 0]
+                next_in = jnp.take_along_axis(Wn, ei[:, None], 1)[:, 0]
+                dprev = jnp.take(t_loc - tp_loc, ai)
+                dnext = jnp.take(tn_loc - t_loc, ei)
+                own_s = ((prev_in == 0) | (dprev == 0.0)) \
+                    .astype(t_loc.dtype)[:, None, None]
+                own_e = ((next_in == 0) | (dnext == 0.0)) \
+                    .astype(t_loc.dtype)[:, None, None]
+                nu_re = (wi_[:, None] + wi_[None, :])[None]
+                nu_im = (wr_[:, None] - wr_[None, :])[None]
+                dlt = (t_loc[-1] - t_loc[0]) / (Kl - 1)
+                g_re, g_im, gt_re, gt_im = _geom_series_eval(
+                    dlt, Kl, nu_re, nu_im, s_loc[:, None, None],
+                    m_loc[:, None, None], edge_first=own_s,
+                    edge_last=own_e)
+                Gt_re = jax.lax.psum(g_re, "time")
+                Gt_im = jax.lax.psum(g_im, "time")
+                Gtau_re = jax.lax.psum(gt_re, "time")
+                Gtau_im = jax.lax.psum(gt_im, "time")
+            else:
+                Gt_re = jax.lax.psum(W @ A1, "time").reshape(-1, J, J)
+                Gt_im = jax.lax.psum(W @ A2, "time").reshape(-1, J, J)
+                Gtau_re = jax.lax.psum(Tau @ A1, "time").reshape(-1, J, J)
+                Gtau_im = jax.lax.psum(Tau @ A2, "time").reshape(-1, J, J)
             pd_re = jax.lax.psum(W @ R1, "time").reshape(-1, I, J)
             pd_im = jax.lax.psum(W @ R2, "time").reshape(-1, I, J)
             pdt_re = jax.lax.psum(Tau @ R1, "time").reshape(-1, I, J)

@@ -310,6 +310,17 @@ def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
     np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref),
                                rtol=0, atol=1e-10)
 
+    # Analytic per-shard Gram partials: each shard's contiguous
+    # in-window range is its own geometric series, trapezoid
+    # half-weights applied only at shard-OWNED global window edges.
+    # Windows here span shard boundaries (t0=2..20, T=40 over 4 time
+    # shards), exercising ownership on both sides.
+    _, _, mm_a = sharded_t0_sweep_factored_2d(
+        times, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh, chunk=4,
+        analytic=True)
+    np.testing.assert_allclose(np.asarray(mm_a), np.asarray(mm_ref),
+                               rtol=0, atol=1e-10)
+
 
 def test_public_modesets_dynamic_mesh_matches_unsharded(cpu_devices):
     """mismatch_t0_mode_sets(dynamic=True, mesh=...) == mesh=None: the
