@@ -578,7 +578,7 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
     (sorted ascending).  K must divide by the 'time' axis size.
     Returns (Cre (B, J), Cim (B, J), mm (B,)).
     """
-    from ..engine_real import _regularised_solve
+    from ..engine_real import _geom_series_eval, _regularised_solve
 
     n_sweep = mesh.shape["sweep"]
     n_time = mesh.shape["time"]
@@ -587,6 +587,10 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
     if K % n_time:
         raise ValueError(
             f"time axis {K} not divisible by mesh time={n_time}")
+    if analytic and K // n_time < 2:
+        # A 1-sample shard has no local step to build the geometric
+        # ratio from (0/0); the summation path handles it exactly.
+        analytic = False
     t0s = np.asarray(t0s)
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
@@ -657,7 +661,6 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
                 # sample out-of-window, or a replicated grid edge
                 # where dt=0), so the psum reassembles the global
                 # trapezoid sum exactly.
-                from ..engine_real import _geom_series_eval
                 a_loc = jnp.sum(
                     (t_loc[None, :] < t0c[:, None]).astype(jnp.int32),
                     axis=1)

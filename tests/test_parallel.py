@@ -321,6 +321,26 @@ def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
     np.testing.assert_allclose(np.asarray(mm_a), np.asarray(mm_ref),
                                rtol=0, atol=1e-10)
 
+    # Padded/ragged mode set under the sharded analytic path: the
+    # nu == 0 dead column (S_m = m limit) must survive the per-shard
+    # edge weights and the identity-Gram masking.
+    Jp = wr.shape[0] + 1
+    wr_p = np.concatenate([wr, [0.0]])
+    wi_p = np.concatenate([wi, [0.0]])
+    mre_p = np.concatenate([mre, np.zeros((mre.shape[0], 1))], axis=1)
+    mim_p = np.concatenate([mim, np.zeros((mim.shape[0], 1))], axis=1)
+    mask = np.array([True] * (Jp - 1) + [False])
+    _, _, mm_pref = sweep_t0_factored_real(
+        jnp.asarray(times), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr_p), jnp.asarray(wi_p), jnp.asarray(mre_p),
+        jnp.asarray(mim_p), jnp.asarray(t0s), jnp.asarray(Ts),
+        col_mask=mask, chunk=4)
+    _, _, mm_pa = sharded_t0_sweep_factored_2d(
+        times, dre, dim, wr_p, wi_p, mre_p, mim_p, t0s, Ts, mesh=mesh,
+        col_mask=mask, chunk=4, analytic=True)
+    np.testing.assert_allclose(np.asarray(mm_pa), np.asarray(mm_pref),
+                               rtol=0, atol=1e-10)
+
 
 def test_public_modesets_dynamic_mesh_matches_unsharded(cpu_devices):
     """mismatch_t0_mode_sets(dynamic=True, mesh=...) == mesh=None: the
