@@ -137,15 +137,24 @@ def main():
         jax.block_until_ready(mm)      # warmup / compile
     except Exception as e:             # pragma: no cover - backend gap
         # Never lose the benchmark to a backend lowering gap in the
-        # analytic path: fall back to the summation kernel.
+        # analytic path: retry once (transient tunnel stalls are
+        # common on this backend and must not silently demote the
+        # kernel), then fall back to the summation kernel.  The JSON
+        # line records which kernel ran (gram_kernel).
         if not analytic:
             raise
-        print(f"# analytic kernel failed on this backend ({e!r}); "
-              "falling back to summation Grams", file=sys.stderr)
-        analytic = False
-        fn = build(False)
-        Cre, Cim, mm = fn(*args)
-        jax.block_until_ready(mm)
+        print(f"# analytic kernel warmup failed ({e!r}); retrying once",
+              file=sys.stderr)
+        try:
+            Cre, Cim, mm = fn(*args)
+            jax.block_until_ready(mm)
+        except Exception as e2:
+            print(f"# analytic kernel failed again ({e2!r}); "
+                  "falling back to summation Grams", file=sys.stderr)
+            analytic = False
+            fn = build(False)
+            Cre, Cim, mm = fn(*args)
+            jax.block_until_ready(mm)
 
     n_rep = 5
     reps = []
@@ -180,6 +189,11 @@ def main():
         "value": round(fits_per_sec, 1),
         "unit": "fits/s",
         "vs_baseline": round(fits_per_sec / 1e4, 3),
+        # Which Gram kernel actually ran: a fallback from the analytic
+        # to the summation kernel (backend lowering gap or transient
+        # device failure during warmup) would otherwise read as a
+        # silent ~2x perf regression attributed to the code.
+        "gram_kernel": "analytic" if analytic else "summation",
     }))
     print(f"# device={dev} n_fits={n_fits} elapsed={elapsed*1e3:.1f} ms "
           f"tpu-vs-ref mismatch deviation={dev_tpu:.2e}", file=sys.stderr)

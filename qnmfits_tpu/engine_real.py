@@ -490,15 +490,21 @@ def _window_scalars(times, w, t0):
     return s, m
 
 
-def _geom_grams_core(dlt, K, wr, wi, s_b, m):
+def _geom_grams_core(dlt, K, wr, wi, s_b, m,
+                     edge_first=None, edge_last=None):
     """Pairwise-mode closed-form Grams: windows of m[b] consecutive
     samples on a uniform grid (spacing dlt) whose first sample sits at
-    offset s_b[b] from the basis reference time.
-    Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J)."""
+    offset s_b[b] from the basis reference time.  This is the ONE site
+    that fixes the Gram orientation convention (nu from the
+    conj(phi_j) phi_l inner product); time-sharded callers pass
+    edge_first/edge_last (see _geom_series_eval) for partial-window
+    shards.  Returns (Gt_re, Gt_im, Gtau_re, Gtau_im), each (Bc, J, J).
+    """
     nu_re = wi[:, None] + wi[None, :]                     # (J, J)
     nu_im = wr[:, None] - wr[None, :]
     return _geom_series_eval(dlt, K, nu_re[None], nu_im[None],
-                             s_b[:, None, None], m[:, None, None])
+                             s_b[:, None, None], m[:, None, None],
+                             edge_first=edge_first, edge_last=edge_last)
 
 
 def _geom_series_eval(dlt, K, nu_re, nu_im, s, m,

@@ -578,7 +578,7 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
     (sorted ascending).  K must divide by the 'time' axis size.
     Returns (Cre (B, J), Cim (B, J), mm (B,)).
     """
-    from ..engine_real import _geom_series_eval, _regularised_solve
+    from ..engine_real import _geom_grams_core, _regularised_solve
 
     n_sweep = mesh.shape["sweep"]
     n_time = mesh.shape["time"]
@@ -587,10 +587,16 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
     if K % n_time:
         raise ValueError(
             f"time axis {K} not divisible by mesh time={n_time}")
-    if analytic and K // n_time < 2:
-        # A 1-sample shard has no local step to build the geometric
-        # ratio from (0/0); the summation path handles it exactly.
-        analytic = False
+    if analytic:
+        from ..batched import _uniform_spacing
+        if K // n_time < 2 or not _uniform_spacing(times):
+            # Closed-form geometric-series Grams need a uniform grid
+            # (and each shard needs >= 2 samples to carry a local
+            # step); the summation path is exact on any grid, so a
+            # direct caller passing analytic=True never gets silently
+            # wrong numbers -- it gets the summation kernel instead,
+            # matching the batched layer's _uniform_spacing gate.
+            analytic = False
     t0s = np.asarray(t0s)
     if np.any(np.diff(t0s) < 0):
         raise ValueError("t0_array must be sorted ascending")
@@ -676,13 +682,10 @@ def sharded_t0_sweep_factored_2d(times, dre, dim, wr, wi, mre, mim, t0s,
                     .astype(t_loc.dtype)[:, None, None]
                 own_e = ((next_in == 0) | (dnext == 0.0)) \
                     .astype(t_loc.dtype)[:, None, None]
-                nu_re = (wi_[:, None] + wi_[None, :])[None]
-                nu_im = (wr_[:, None] - wr_[None, :])[None]
                 dlt = (t_loc[-1] - t_loc[0]) / (Kl - 1)
-                g_re, g_im, gt_re, gt_im = _geom_series_eval(
-                    dlt, Kl, nu_re, nu_im, s_loc[:, None, None],
-                    m_loc[:, None, None], edge_first=own_s,
-                    edge_last=own_e)
+                g_re, g_im, gt_re, gt_im = _geom_grams_core(
+                    dlt, Kl, wr_, wi_, s_loc, m_loc,
+                    edge_first=own_s, edge_last=own_e)
                 Gt_re = jax.lax.psum(g_re, "time")
                 Gt_im = jax.lax.psum(g_im, "time")
                 Gtau_re = jax.lax.psum(gt_re, "time")

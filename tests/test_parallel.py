@@ -341,6 +341,20 @@ def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
     np.testing.assert_allclose(np.asarray(mm_pa), np.asarray(mm_pref),
                                rtol=0, atol=1e-10)
 
+    # analytic=True on a NON-uniform grid must fall back to the exact
+    # summation kernel (the closed forms assume uniform spacing): a
+    # direct caller never gets silently wrong numbers.
+    times_nu = times + 0.01 * np.sin(np.arange(K4))
+    _, _, mm_nuref = sweep_t0_factored_real(
+        jnp.asarray(times_nu), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), jnp.asarray(t0s), jnp.asarray(Ts), chunk=4)
+    _, _, mm_nu = sharded_t0_sweep_factored_2d(
+        times_nu, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh,
+        chunk=4, analytic=True)
+    np.testing.assert_allclose(np.asarray(mm_nu), np.asarray(mm_nuref),
+                               rtol=0, atol=1e-10)
+
 
 def test_public_modesets_dynamic_mesh_matches_unsharded(cpu_devices):
     """mismatch_t0_mode_sets(dynamic=True, mesh=...) == mesh=None: the
