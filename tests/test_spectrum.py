@@ -174,17 +174,19 @@ class TestOnDemandSolve:
     def test_fallback_solves_and_caches(self):
         from qnmfits_tpu.spectrum.tables import SpectrumTables
         t = SpectrumTables()            # fresh instance, not the singleton
-        assert (3, 3, 9) not in t.row   # beyond baked n<=7 for l=3
-        ms = t.compile_modes([(3, 3, 9, 1)])   # disk-cached by a prior run
+        # (5,5,8): beyond the baked ladders (l=3/4 now carry n<=14;
+        # l>=5 still stops at n=7).
+        assert (5, 5, 8) not in t.row
+        ms = t.compile_modes([(5, 5, 8, 1)])   # disk-cached by a prior run
         w = t.omega_np(ms, 0.7)[0]
         # Overtone ordering/continuity sanity: deeper than n=7, Re > 0.
-        ms7 = t.compile_modes([(3, 3, 7, 1)])
+        ms7 = t.compile_modes([(5, 5, 7, 1)])
         w7 = t.omega_np(ms7, 0.7)[0]
         assert w.imag < w7.imag < 0
         assert w.real > 0
         # mixing row exists too
         rows, comps, signs, parity, nz = t.compile_mu_indices(
-            [(4, 3, 3, 3, 9, 1)])
+            [(6, 5, 5, 5, 8, 1)])
         assert nz[0]
 
     def test_invalid_mode_still_raises(self):
@@ -262,6 +264,68 @@ class TestL8Extension:
             np.testing.assert_allclose(np.asarray(wm),
                                        np.asarray(-np.conj(w)),
                                        rtol=0, atol=1e-12)
+
+
+class TestDeepOvertoneLadders:
+    """Regular l=3/l=4 ladders extended to n<=14 (round 4;
+    scripts/extend_overtones.py).  The reference's Cook data stops at
+    n<=7 for every (l, m); the l>=3 extension needs no multiplet
+    machinery -- the s=-2 algebraically special frequency (-10i at
+    l=3) sits far below n=14."""
+
+    def test_keys_present(self, tables):
+        have = {tuple(k) for k in tables.keys}
+        for l in (3, 4):
+            for m in range(-l, l + 1):
+                for n in range(8, 15):
+                    assert (l, m, n) in have, (l, m, n)
+
+    def test_schwarzschild_m_degeneracy(self):
+        """At chi=0 the Kerr ladder collapses to the Schwarzschild
+        l-multiplet: every m of (3, m, 10) must give the same omega.
+        Each m is an INDEPENDENT Leaver track, so this is a real
+        cross-check of the 7 new solves against each other."""
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        w0 = q.omega(3, 3, 10, 1, 0.0)
+        for m in range(-3, 3):
+            assert abs(q.omega(3, m, 10, 1, 0.0) - w0) < 1e-8, m
+
+    def test_ladder_monotone_damping(self):
+        """Im(omega) strictly decreasing in n through the extension
+        boundary (n=7 -> 8) and down the new ladder."""
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        for (l, m, chi) in ((3, 3, 0.0), (3, 3, 0.6), (4, 4, 0.6)):
+            ims = [q.omega(l, m, n, 1, chi).imag for n in range(15)]
+            assert all(ims[k] > ims[k + 1] for k in range(14)), (l, m)
+
+    def test_table_matches_direct_solve(self):
+        """(3,3,9) spline row vs a fresh dense track at off-grid spin.
+
+        Deep overtones pack tightly in Im(omega): 0.01 spin steps hop
+        to the neighbouring overtone branch around chi~0.3 (verified),
+        so the probe track uses the production table's ~0.0025 step.
+        """
+        from qnmfits_tpu.qnm_api import qnm
+        from qnmfits_tpu.spectrum.solver import (schwarzschild_seeds,
+                                                 track_mode)
+        seeds = schwarzschild_seeds(l_max=3, n_max=9, s=-2,
+                                    n_max_low_l=0)
+        chi_probe = np.linspace(0.0, 0.7, 281)
+        w, A, C = track_mode(3, 3, 9, seeds[(3, 9)], chi_probe, s=-2)
+        q = qnm()
+        for ci in (0, 140, 280):
+            chi = float(chi_probe[ci])
+            assert abs(q.omega(3, 3, 9, 1, chi) - w[ci]) < 2e-7, chi
+
+    def test_mirror_symmetry_deep(self):
+        from qnmfits_tpu.qnm_api import qnm
+        q = qnm()
+        for (l, m, n) in ((3, 3, 12), (4, -2, 10)):
+            w = q.omega(l, m, n, 1, 0.5)
+            wm = q.omega(l, -m, n, -1, 0.5)
+            assert abs(wm + np.conj(w)) < 1e-12
 
 
 class TestS1Tables:
