@@ -55,3 +55,20 @@ for N, t0 in ((4, 10.0), (8, 10.0), (14, 0.0), (21, 0.0)):
         times, h22, [(2, 2, n, 1) for n in range(N)], Mf, chif, t0=t0)
     print(f"  N={N:2d} t0={t0:4.1f}: eps={eps:.3e} "
           f"(Mf*={Mf_b:.6f}, chif*={chif_b:.6f})")
+
+# Beyond the reference's reach: the SAME study on the (3,3) harmonic.
+# Cook data (and therefore the reference) stops at n<=7; the baked
+# tables carry the l=3/4 ladders to n<=14 (scripts/extend_overtones.py),
+# so higher-harmonic overtone envelopes run through the identical sweep.
+N33 = 15
+modes33 = [(3, 3, n, 1) for n in range(N33)]
+freqs33 = np.array(qf.qnm.omega_list(modes33, chif, Mf))
+amps33 = (rng.standard_normal(N33) + 1j * rng.standard_normal(N33)) \
+    * 10.0 ** np.linspace(0, 1.2, N33)
+h33 = qf.ringdown(times, 0.0, amps33, freqs33)
+sets33 = [[(3, 3, n, 1) for n in range(N)] for N in range(1, N33 + 1)]
+mm33 = qf.mismatch_t0_mode_sets(times, h33, sets33, Mf, chif, t0_array)
+print("(3,3) ladder envelope -- N_max  min-mismatch  best-t0")
+for N, mm in zip((1, 8, 12, 15), (mm33[0], mm33[7], mm33[11], mm33[14])):
+    k = int(np.argmin(mm))
+    print(f"{N - 1:5d}  {mm[k]:.3e}     {t0_array[k]:+.1f}")
