@@ -91,6 +91,51 @@ def test_dryrun_multichip_entrypoint(cpu_devices):
     g.dryrun_multichip(4)
 
 
+def test_cpu_only_hardening_semantics():
+    """_cpu_only_hardening scrubs plugin paths ONLY under an explicit
+    JAX_PLATFORMS=cpu, and never touches an initialised jax (live-
+    outage verification: PARITY.md round-4 addendum)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    root = str(Path(__file__).resolve().parents[1])
+    code = """
+import os, sys
+sys.path.insert(0, %r)
+fake = os.path.join(%r, "..", "fake.axon_site")   # never created
+import __graft_entry__ as g
+
+# Not opted in: no-op even with a plugin-looking path present.
+os.environ.pop("JAX_PLATFORMS", None)
+sys.path.insert(0, fake)
+g._cpu_only_hardening()
+assert fake in sys.path
+
+# Opted in, jax not yet imported: the path is scrubbed.
+assert "jax" not in sys.modules
+os.environ["JAX_PLATFORMS"] = "cpu"
+g._cpu_only_hardening()
+assert fake not in sys.path
+
+# Initialised jax: untouched (the _backends guard).
+import jax
+jax.devices()
+import jax._src.xla_bridge as xb
+n = len(xb._backend_factories)
+g._cpu_only_hardening()
+assert len(xb._backend_factories) == n
+print("ok")
+""" % (root, root)
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""          # no real plugin in the child
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "ok" in r.stdout
+
+
 def test_sharded_factored_sweep_matches_fast_kernel(cpu_devices, problem):
     """The multi-chip factored sweep == the single-chip factored kernel
     (and both == the loop oracle, covered by test_batched)."""
