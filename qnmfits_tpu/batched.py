@@ -175,6 +175,20 @@ def _prep(times, data, spherical_modes):
     return np.asarray(times, float), rows, sph
 
 
+def _single_row(rows, fn_name):
+    """The free-frequency grid fits ONE data series (the reference's
+    mismatch_omega_grid takes a bare waveform array, qnmfits.py:1679 --
+    there is no spherical_modes parameter on that surface).  Dict data
+    with several spherical modes must fail loudly: the bordered kernel
+    would silently fit only the first row and the spectrum-batched ones
+    would broadcast-contract mismatched I dimensions into garbage."""
+    if rows.shape[0] != 1:
+        raise ValueError(
+            f"{fn_name} fits a single data series; got {rows.shape[0]} "
+            "spherical-mode rows.  Pass one waveform array (or a dict "
+            "with exactly one entry).")
+
+
 def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
                       t0_method="geq", T_array=100, spherical_modes=None,
                       delta=0.0, precision="x64", return_amplitudes=False):
@@ -228,6 +242,7 @@ def batch_mismatch_omega(times, data, modes, Mf, chif, re_minmax, im_minmax,
     """Complex-frequency grid in one vmapped solve; transposed layout like
     the reference (qnmfits.py:1825)."""
     times, rows, sph = _prep(times, data, None)
+    _single_row(rows, "batch_mismatch_omega")
     re = np.linspace(*re_minmax, res)
     im = np.linspace(*im_minmax, res)
     RE, IM = np.meshgrid(re, im, indexing="ij")
@@ -361,17 +376,24 @@ def _safe_chunk(t0s, wi_max, chunk):
 
 
 def _uniform_spacing(times):
-    """True when `times` is a uniform grid to a few ulps (np.arange /
-    np.linspace outputs): the gate for the analytic-Gram fast path
-    (engine_real._analytic_grams).  Genuinely non-uniform grids (e.g.
-    raw SXS sampling) keep the summation kernels."""
-    t = np.asarray(times, float)
+    """True when `times` is a uniform grid to a few ulps of ITS OWN
+    dtype (np.arange / np.linspace outputs): the gate for the
+    analytic-Gram fast path (engine_real._analytic_grams).  A float32
+    linspace is uniform to f32 ulps -- and the kernels consuming it run
+    in f32, so that is the relevant accuracy budget; judging it by f64
+    ulps would silently demote f32 callers (the multichip dryrun) to
+    the summation path.  Genuinely non-uniform grids (raw SXS sampling,
+    ~1e-2 relative jitter) fail at any float tolerance."""
+    t = np.asarray(times)
+    eps = np.finfo(t.dtype).eps if np.issubdtype(t.dtype, np.floating) \
+        else np.finfo(float).eps
+    t = np.asarray(t, float)
     K = t.shape[0]
     if K < 2 or not t[-1] > t[0]:
         return False
     step = (t[-1] - t[0]) / (K - 1)
     ideal = t[0] + step * np.arange(K)
-    tol = 16 * np.finfo(float).eps * max(abs(t[0]), abs(t[-1]))
+    tol = 16 * eps * max(abs(t[0]), abs(t[-1]))
     return bool(np.max(np.abs(t - ideal)) <= tol)
 
 
@@ -547,6 +569,7 @@ def batch_mismatch_omega_fast(times, data, modes, Mf, chif, re_minmax,
     free frequency per grid point, one jitted spectrum-batched sweep.
     Transposed output layout like the reference (qnmfits.py:1825)."""
     times, rows, sph = _prep(times, data, None)
+    _single_row(rows, "batch_mismatch_omega_fast")
     re = np.linspace(*re_minmax, res)
     im = np.linspace(*im_minmax, res)
     RE, IM = np.meshgrid(re, im, indexing="ij")
@@ -590,6 +613,7 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
     reference (qnmfits.py:1825).
     """
     times, rows, sph = _prep(times, data, None)
+    _single_row(rows, "batch_mismatch_omega_bordered")
     re_axis = np.linspace(*re_minmax, res)
     im_axis = np.linspace(*im_minmax, res)
 

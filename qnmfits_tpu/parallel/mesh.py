@@ -232,6 +232,21 @@ def _clamped_chunk(t0s, wi, chunk):
     return _safe_chunk(t0s, float(np.max(np.abs(wi))), chunk)
 
 
+def _analytic_ok(times, analytic):
+    """Gate closed-form geometric-series Grams on a uniform time grid.
+
+    The public batched.* wrappers gate on measured spacing before
+    calling in here, but the mesh-level kernels are also direct entry
+    points (dryrun, tests, power users); analytic=True on a
+    genuinely non-uniform grid (raw SXS sampling) must fall back to
+    the exact summation kernels rather than return silently wrong
+    numbers.  Same contract as sharded_t0_sweep_factored_2d's guard."""
+    if not analytic:
+        return False
+    from ..batched import _uniform_spacing
+    return bool(_uniform_spacing(np.asarray(times)))
+
+
 def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
                               mesh: Mesh, col_mask=None, chunk: int = 64,
                               analytic: bool = False):
@@ -248,6 +263,7 @@ def sharded_t0_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0s, Ts,
     t0s/Ts (B,) sharded (t0s sorted ascending).  Returns
     (Cre (B, J), Cim (B, J), mm (B,)).
     """
+    analytic = _analytic_ok(times, analytic)
     from ..engine_real import sweep_t0_factored_real
 
     n_sweep = mesh.shape["sweep"]
@@ -291,6 +307,7 @@ def sharded_t0_sweep_modesets_factored(times, dre, dim, wrs, wis, mres,
     t0s/Ts (B,) sharded (sorted ascending).  Returns
     (Cre (S, B, J), Cim (S, B, J), mm (S, B)).
     """
+    analytic = _analytic_ok(times, analytic)
     from ..engine_real import sweep_t0_modesets_factored_real
 
     n_sweep = mesh.shape["sweep"]
@@ -408,6 +425,7 @@ def sharded_spectra_sweep(times, dre, dim, wrs, wis, mres, mims, t0, w,
     wrs/wis (Q, J), mres/mims (Q, I, J) sharded on Q.  Returns
     (Cre (Q, J), Cim (Q, J), mm (Q,)) gathered.
     """
+    analytic = _analytic_ok(times, analytic)
     from ..engine_real import sweep_spectra_real
 
     n_sweep = mesh.shape["sweep"]
@@ -451,6 +469,7 @@ def sharded_omega_grid_bordered(times, d_re, d_im, wr, wi, re_axis,
     Cim, mm (A*B,)) in q = a*B + b order, a-major like the unsharded
     kernel.
     """
+    analytic = _analytic_ok(times, analytic)
     from ..engine_real import sweep_omega_grid_bordered_real
 
     n_sweep = mesh.shape["sweep"]
@@ -529,6 +548,7 @@ def sharded_event_batch(times, dres, dims, wrs, wis, t0s, Ts,
     times (K,) replicated; dres/dims (E, K), wrs/wis (E, J),
     t0s/Ts (E,) sharded.  Returns (Cre (E, J), Cim (E, J), mm (E,)).
     """
+    analytic = _analytic_ok(times, analytic)
     from ..engine_real import sweep_events_real
 
     n_sweep = mesh.shape["sweep"]

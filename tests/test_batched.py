@@ -695,6 +695,38 @@ class TestEventBatch:
         np.testing.assert_allclose(C1, C0, rtol=0, atol=1e-8)
 
 
+class TestOmegaSingleRowValidation:
+    """The free-frequency grid fits ONE data series (the reference's
+    mismatch_omega_grid has no spherical_modes parameter,
+    qnmfits.py:1679); multi-row dict data must fail loudly instead of
+    silently fitting only the first row (bordered) or broadcasting
+    mismatched I dimensions into garbage (spectrum-batched)."""
+
+    def _two_row_data(self, syn):
+        return {(2, 2): syn["data"], (3, 3): 0.5 * syn["data"]}
+
+    @pytest.mark.parametrize("fn", ["batch_mismatch_omega",
+                                    "batch_mismatch_omega_fast",
+                                    "batch_mismatch_omega_bordered"])
+    def test_multi_row_dict_raises(self, syn, fn):
+        with pytest.raises(ValueError, match="single data series"):
+            getattr(batched, fn)(
+                syn["times"], self._two_row_data(syn), syn["modes"][:2],
+                syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05),
+                t0=5.0, T=80.0, res=4)
+
+    def test_one_entry_dict_still_works(self, syn):
+        mm_d = batched.batch_mismatch_omega_bordered(
+            syn["times"], {(2, 2): syn["data"]}, syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05),
+            t0=5.0, T=80.0, res=4)
+        mm_a = batched.batch_mismatch_omega_bordered(
+            syn["times"], syn["data"], syn["modes"][:2],
+            syn["Mf"], syn["chif"], (0.3, 0.8), (-0.4, -0.05),
+            t0=5.0, T=80.0, res=4)
+        np.testing.assert_allclose(mm_d, mm_a, rtol=0, atol=0)
+
+
 class TestOmegaBordered:
     """Bordered fixed-block free-frequency kernel (hot loop #3): the
     shared fixed-QNM Gram is factorised once per window; every grid

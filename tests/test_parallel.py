@@ -328,6 +328,61 @@ def test_sharded_grid_analytic_matches_summation(cpu_devices):
                                    rtol=0, atol=1e-12)
 
 
+def test_mesh_analytic_gated_on_nonuniform_grid(cpu_devices):
+    """analytic=True on a NON-uniform grid at the mesh layer falls back
+    to the exact summation kernels (the _analytic_ok gate): direct
+    callers never get silently wrong closed-form Grams."""
+    import jax.numpy as jnp
+
+    from qnmfits_tpu.engine_real import (sweep_spectra_real,
+                                         sweep_t0_factored_real)
+    from qnmfits_tpu.parallel.mesh import (
+        sharded_spectra_sweep, sharded_t0_sweep_factored, sweep_mesh)
+
+    rng = np.random.default_rng(23)
+    t = np.arange(-10.0, 110.0, 0.1)
+    t_nu = t + 0.01 * np.sin(np.arange(t.size))       # non-uniform
+    J, I = 4, 2
+    wr = rng.uniform(0.3, 0.9, J)
+    wi = -rng.uniform(0.05, 0.5, J)
+    mre = rng.normal(size=(I, J))
+    mim = rng.normal(size=(I, J))
+    dre = rng.normal(size=(I, t.size))
+    dim = rng.normal(size=(I, t.size))
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+
+    # Factored t0 sweep.
+    t0s = np.linspace(2.0, 20.0, 8)
+    Ts = np.full_like(t0s, 40.0)
+    _, _, mm_ref = sweep_t0_factored_real(
+        jnp.asarray(t_nu), jnp.asarray(dre), jnp.asarray(dim),
+        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(mre),
+        jnp.asarray(mim), jnp.asarray(t0s), jnp.asarray(Ts), chunk=4)
+    _, _, mm_a = sharded_t0_sweep_factored(
+        t_nu, dre, dim, wr, wi, mre, mim, t0s, Ts, mesh=mesh, chunk=4,
+        analytic=True)
+    np.testing.assert_allclose(np.asarray(mm_a), np.asarray(mm_ref),
+                               rtol=0, atol=1e-10)
+
+    # Spectrum-batched grid kernel.
+    Q = 9
+    wr_q = rng.uniform(0.3, 0.9, (Q, J))
+    wi_q = -rng.uniform(0.05, 0.5, (Q, J))
+    mre_q = rng.normal(size=(Q, I, J))
+    mim_q = rng.normal(size=(Q, I, J))
+    t0 = 3.0
+    w_nu = ((t_nu >= t0) & (t_nu < t0 + 70.0)).astype(float)
+    out_s = sweep_spectra_real(t_nu, dre, dim, wr_q, wi_q, mre_q, mim_q,
+                               t0, jnp.asarray(w_nu), chunk=4,
+                               analytic=False)
+    out_a = sharded_spectra_sweep(t_nu, dre, dim, wr_q, wi_q, mre_q,
+                                  mim_q, t0, w_nu, mesh=mesh, chunk=4,
+                                  analytic=True)
+    for x_s, x_a in zip(out_s, out_a):
+        np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_s),
+                                   rtol=0, atol=1e-10)
+
+
 def test_factored_2d_mesh_matches_single_device(cpu_devices, problem):
     """The factored production kernel with BOTH mesh axes live (windows
     over 'sweep', time samples over 'time' with psum'd Gram sums +
