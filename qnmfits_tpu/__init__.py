@@ -90,6 +90,7 @@ from .plotting import (  # noqa: E402
     plot_ringdown,
     plot_ringdown_modes,
 )
+from .orthonormal import orthonormal_decomposition  # noqa: E402
 from .qnm_api import download_cook_data  # noqa: E402
 
 __version__ = "0.3.0"
