@@ -56,6 +56,16 @@ for N, t0 in ((4, 10.0), (8, 10.0), (14, 0.0), (21, 0.0)):
     print(f"  N={N:2d} t0={t0:4.1f}: eps={eps:.3e} "
           f"(Mf*={Mf_b:.6f}, chif*={chif_b:.6f})")
 
+# How many overtones MATTER?  The orthonormal-mode significance curve
+# (qf.orthonormal_decomposition, arXiv:2507.12376-style): additive
+# per-mode explained power in the window inner product.
+out = qf.orthonormal_decomposition(times, h22, modes_all[:10], Mf, chif,
+                                   t0=0.0)
+print("orthonormal overtone significance (t0=0):")
+for n, (p, c) in enumerate(zip(out["power"] / out["data_norm"],
+                               out["cumulative_explained"])):
+    print(f"  n={n}: marginal {p:.2e}  cumulative {c:.10f}")
+
 # Beyond the reference's reach: the SAME study on the (3,3) harmonic.
 # Cook data (and therefore the reference) stops at n<=7; the baked
 # tables carry the l=3/4 ladders to n<=14 (scripts/extend_overtones.py),
