@@ -90,7 +90,10 @@ from .plotting import (  # noqa: E402
     plot_ringdown,
     plot_ringdown_modes,
 )
-from .orthonormal import orthonormal_decomposition  # noqa: E402
+from .orthonormal import (  # noqa: E402
+    orthonormal_decomposition,
+    orthonormal_t0_sweep,
+)
 from .qnm_api import download_cook_data  # noqa: E402
 
 __version__ = "0.3.0"

@@ -22,9 +22,11 @@ loop, and the whole analysis is three triangular solves.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
-__all__ = ["orthonormal_decomposition"]
+__all__ = ["orthonormal_decomposition", "orthonormal_t0_sweep"]
 
 
 def orthonormal_decomposition(times, data, modes, Mf, chif, t0,
@@ -125,4 +127,83 @@ def orthonormal_decomposition(times, data, modes, Mf, chif, t0,
         "explained_fraction": explained,
         "cumulative_explained": cum,
         "mismatch": 1.0 - float(np.sqrt(max(explained, 0.0))),
+    }
+
+
+@lru_cache(maxsize=64)
+def _sweep_fn(modes, sph, t0_method):
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import SpectrumEvaluator
+    from .ops.windows import trapz_weights, window_closest, window_geq
+
+    ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
+    window = window_geq if t0_method == "geq" else window_closest
+
+    def one(times, rows, omega, mu, args):
+        t0, T = args
+        w = window(times, t0, T)
+        tau = trapz_weights(times, w)
+        dt = (times[:, None] - t0) * w[:, None]
+        phi = jnp.exp(-1j * omega[None, :] * dt)
+        phit = phi * tau[:, None]
+        G = (mu.conj().T @ mu) * (phit.conj().T @ phi)
+        pd = jnp.einsum("kj,ik->ij", phit.conj(), rows)
+        r = jnp.einsum("ij,ij->j", mu.conj(), pd)
+        dn = jnp.real(jnp.sum(tau[None, :] * rows * jnp.conj(rows)))
+        L = jnp.linalg.cholesky(G)      # NaN rows on a degenerate set
+        b = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return jnp.abs(b) ** 2, dn
+
+    def run(times, rows, Mf, chif, t0s, Ts):
+        omega = ev.omega(chif, Mf)
+        mu = jnp.ones((1, omega.shape[0]), jnp.complex128) \
+            if sph is None else ev.mu(chif)
+        return jax.lax.map(
+            lambda a: one(times, rows, omega, mu, a), (t0s, Ts),
+            batch_size=64)
+
+    return jax.jit(run)
+
+
+def orthonormal_t0_sweep(times, data, modes, Mf, chif, t0_array,
+                         t0_method="geq", T_array=100,
+                         spherical_modes=None):
+    """`orthonormal_decomposition`'s per-mode powers over a whole t0
+    axis as ONE jitted program (the sweep shape every analysis takes in
+    this package): at which start time does each overtone stop carrying
+    power?
+
+    Returns a dict of arrays over the (B,) t0 axis:
+      power (B, J), cumulative_explained (B, J),
+      explained_fraction (B,), mismatch (B,), data_norm (B,),
+      ok (B,) -- False where the mode set is numerically degenerate on
+      that window (the in-jit Cholesky yields NaN there instead of
+      raising like the single-shot API).
+    """
+    from .batched import _canon, _prep
+    from .engine import check_spin, cpu_device
+    import jax
+
+    times, rows, sph = _prep(times, data, spherical_modes)
+    check_spin(chif)
+    t0s = np.asarray(t0_array, float)
+    Ts = np.broadcast_to(np.asarray(T_array, float), t0s.shape)
+    fn = _sweep_fn(_canon(modes), sph, t0_method)
+    dev = cpu_device()                   # complex128: CPU backend
+    power, dn = fn(*(jax.device_put(x, dev) for x in
+                     (times, np.asarray(rows, complex), float(Mf),
+                      float(chif), t0s, Ts)))
+    power = np.asarray(power)
+    dn = np.asarray(dn)
+    cum = np.cumsum(power, axis=1) / dn[:, None]
+    explained = cum[:, -1]
+    return {
+        "power": power,
+        "data_norm": dn,
+        "cumulative_explained": cum,
+        "explained_fraction": explained,
+        "mismatch": 1.0 - np.sqrt(np.maximum(explained, 0.0)),
+        "ok": np.all(np.isfinite(power), axis=1),
     }

@@ -107,6 +107,35 @@ def test_multimode_dict_data():
                                rtol=0, atol=1e-7)
 
 
+def test_t0_sweep_matches_single_shot(syn):
+    """orthonormal_t0_sweep == a loop of orthonormal_decomposition."""
+    from qnmfits_tpu import orthonormal_t0_sweep
+
+    t0s = np.linspace(0.0, 12.0, 7)
+    out = orthonormal_t0_sweep(syn["times"], syn["data"], syn["modes"],
+                               syn["Mf"], syn["chif"], t0s, T_array=80.0)
+    assert out["power"].shape == (7, len(syn["modes"]))
+    assert np.all(out["ok"])
+    for i, t0 in enumerate(t0s):
+        ref = orthonormal_decomposition(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=float(t0), T=80.0)
+        np.testing.assert_allclose(out["power"][i], ref["power"],
+                                   rtol=0, atol=1e-11)
+        assert abs(out["mismatch"][i] - ref["mismatch"]) < 1e-11
+
+
+def test_t0_sweep_flags_degenerate_windows(syn):
+    """A duplicated mode makes every window degenerate: in-jit Cholesky
+    yields NaN and the ok mask is False (no exception inside jit)."""
+    from qnmfits_tpu import orthonormal_t0_sweep
+
+    out = orthonormal_t0_sweep(
+        syn["times"], syn["data"], [syn["modes"][0], syn["modes"][0]],
+        syn["Mf"], syn["chif"], np.array([0.0, 5.0]), T_array=80.0)
+    assert not np.any(out["ok"])
+
+
 def test_degenerate_set_raises(syn):
     with pytest.raises(ValueError, match="degenerate"):
         orthonormal_decomposition(
