@@ -200,7 +200,10 @@ class SpectrumTables:
         if l < abs(self.s) or abs(m) > l or n < 0:
             raise KeyError(f"invalid mode {key} for spin weight s={self.s}")
         cache_dir = DATA_DIR / "track_cache"
-        cache_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+        except OSError:         # read-only install: cache is best-effort
+            pass
         cache = cache_dir / f"s{self.s}_l{l}_m{m}_n{n}_P{len(self.chi)}.npz"
         if cache.exists():
             z = np.load(cache)
@@ -227,7 +230,10 @@ class SpectrumTables:
                     f"ladders past the algebraically special frequency "
                     f"need the multiplet machinery: rebuild with "
                     f"`python -m qnmfits_tpu.spectrum.build_tables`.")
-            np.savez(cache, w=w, A=A, C=C)
+            try:
+                np.savez(cache, w=w, A=A, C=C)
+            except OSError:     # read-only install: cache is best-effort
+                pass
         mu = np.zeros((len(self.chi), self.n_mu), complex)
         Kc = min(self.n_mu, C.shape[1])
         mu[:, :Kc] = C[:, :Kc]

@@ -197,6 +197,24 @@ class TestOnDemandSolve:
         with pytest.raises(KeyError):
             t.compile_modes([(3, 4, 0, 1)])     # |m| > l
 
+    def test_read_only_install_still_solves(self, tmp_path, monkeypatch):
+        """On a read-only site-packages the disk cache is best-effort:
+        the on-demand solve must succeed without persisting.  (chmod
+        can't simulate this under root, which ignores permission bits;
+        raise from the write call itself instead.)"""
+        import qnmfits_tpu.spectrum.tables as tables_mod
+
+        def _denied(*a, **k):
+            raise OSError(30, "Read-only file system")
+
+        monkeypatch.setattr(tables_mod, "DATA_DIR", tmp_path / "ro")
+        monkeypatch.setattr(tables_mod.np, "savez", _denied)
+        t = tables_mod.SpectrumTables()     # artifact path resolved at init
+        ms = t.compile_modes([(5, 5, 8, 1)])
+        w = t.omega_np(ms, 0.5)[0]
+        assert np.isfinite(w) and w.imag < 0
+        assert not list((tmp_path / "ro").rglob("*.npz"))
+
 
 def test_schwarzschild_seeds_full_ladder_for_requested_l():
     """The requested l's own overtone ladder is solved in full even when
