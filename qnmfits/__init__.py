@@ -21,6 +21,24 @@ from qnmfits_tpu.waveforms import (  # noqa: F401
 from qnmfits_tpu.qnm_api import download_cook_data  # noqa: F401
 from .qnmfits import *  # noqa: F401,F403
 
+# With __all__ defined, `from qnmfits import *` resolves `qnm` through
+# __getattr__ (PEP 562), matching the reference where the instance is a
+# plain module global -- while a bare `import qnmfits` stays lazy.
+__all__ = [
+    "Custom", "SXS", "NRSur7dq4", "NRHybSur3dq8", "qnm",
+    "download_cook_data",
+    "ringdown", "mismatch", "multimode_mismatch", "ringdown_fit",
+    "dynamic_ringdown_fit", "multimode_ringdown_fit",
+    "dynamic_multimode_ringdown_fit", "mismatch_t0_array",
+    "mismatch_t0_mode_sets", "mismatch_M_chi_grid",
+    "mismatch_omega_grid", "calculate_epsilon", "free_frequency_fit",
+    "rational_filter", "fit_events", "calculate_epsilon_array",
+    "free_frequency_fit_array", "orthonormal_decomposition",
+    "orthonormal_t0_sweep",
+    "plot_ringdown", "plot_ringdown_modes", "plot_mode_amplitudes",
+    "plot_mismatch_M_chi_grid", "plot_mismatch_omega_grid",
+]
+
 
 def __getattr__(name):
     # `qnm` (the lazy spectrum instance) and anything else the
