@@ -218,7 +218,10 @@ def supervise():
     import os
     import subprocess
 
-    timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "1800"))
+    # 900 s covers the worst healthy TPU run (remote compile ~150 s +
+    # one-time device load ~230 s + reps) while leaving room for the
+    # CPU fallback (~7 min) inside a driver-side timeout.
+    timeout = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
     here = os.path.abspath(__file__)
 
     def attempt(env, label):
