@@ -382,18 +382,32 @@ def _uniform_spacing(times):
     linspace is uniform to f32 ulps -- and the kernels consuming it run
     in f32, so that is the relevant accuracy budget; judging it by f64
     ulps would silently demote f32 callers (the multichip dryrun) to
-    the summation path.  Genuinely non-uniform grids (raw SXS sampling,
-    ~1e-2 relative jitter) fail at any float tolerance."""
-    t = np.asarray(times)
-    eps = np.finfo(t.dtype).eps if np.issubdtype(t.dtype, np.floating) \
-        else np.finfo(float).eps
-    t = np.asarray(t, float)
+    the summation path.  For sub-f64 storage the grid must BE the
+    storage-dtype rounding of a uniform grid (ideal grid re-rounded to
+    the input dtype, compared at ~4 ulps): the storage rounding itself
+    is unavoidable ~0.5-ulp jitter, but real jitter a few ulps above
+    that floor (e.g. ~1e-4 absolute on an f32 grid reaching t~150,
+    below the old 16-ulp blanket tolerance) must fall back to the
+    summation kernels, which use the actual samples.  Genuinely
+    non-uniform grids (raw SXS sampling, ~1e-2 relative jitter) fail at
+    any float tolerance."""
+    t_raw = np.asarray(times)
+    floating = np.issubdtype(t_raw.dtype, np.floating)
+    eps = np.finfo(t_raw.dtype).eps if floating else np.finfo(float).eps
+    t = np.asarray(t_raw, float)
     K = t.shape[0]
     if K < 2 or not t[-1] > t[0]:
         return False
     step = (t[-1] - t[0]) / (K - 1)
     ideal = t[0] + step * np.arange(K)
-    tol = 16 * eps * max(abs(t[0]), abs(t[-1]))
+    if floating and eps > np.finfo(float).eps:
+        # Endpoint-rounding skew bounds |t - round(ideal)| at ~2 ulps
+        # for a stored-uniform grid; 4 leaves margin without admitting
+        # the 16-ulp jitter band.
+        ideal = np.asarray(ideal.astype(t_raw.dtype), float)
+        tol = 4 * eps * max(abs(t[0]), abs(t[-1]))
+    else:
+        tol = 16 * eps * max(abs(t[0]), abs(t[-1]))
     return bool(np.max(np.abs(t - ideal)) <= tol)
 
 
@@ -610,7 +624,10 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
     per-point O(K J^2) assembly + J x J Cholesky of the spectrum-batched
     kernel.  Same regularised system, same <=1e-11 parity bar
     (tests/test_batched.py).  Transposed output layout like the
-    reference (qnmfits.py:1825).
+    reference (qnmfits.py:1825): mm is (res, res) indexed [im, re];
+    with return_amplitudes=True, C is (res, res, Jf+1) in the SAME
+    [im, re] layout, so C[i, j] are the amplitudes of the grid point
+    whose mismatch is mm[i, j] (fixed modes first, free column last).
     """
     times, rows, sph = _prep(times, data, None)
     _single_row(rows, "batch_mismatch_omega_bordered")
@@ -638,7 +655,11 @@ def batch_mismatch_omega_bordered(times, data, modes, Mf, chif, re_minmax,
         Cre, Cim, mm = _omega_bordered_fn(a_chunk, analytic)(*args)
     mm = np.asarray(mm).reshape(res, res).T
     if return_amplitudes:
+        # Kernel order is q = re_idx*res + im_idx; realign to mm's
+        # transposed [im, re] layout so mm[i, j] and C[i, j] describe
+        # the same grid point.
         C = np.asarray(Cre) + 1j * np.asarray(Cim)
+        C = C.reshape(res, res, -1).transpose(1, 0, 2)
         return mm, C
     return mm
 
@@ -738,6 +759,10 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
+    if mesh is not None and precision != "x64":
+        raise ValueError("mesh sweeps run the split-complex f64 sharded "
+                         "kernel; precision applies to the single-device "
+                         "path only (drop precision or mesh)")
     times, rows, sph = _prep(times, data, spherical_modes)
     t0s = np.asarray(t0_array, float)
     if t0_method == "geq" and np.any(np.diff(t0s) < 0):
@@ -957,6 +982,10 @@ def batch_mismatch_t0_modesets_dynamic(times, data, mode_sets, Mf, chif,
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
+    if mesh is not None and precision != "x64":
+        raise ValueError("mesh sweeps run the split-complex f64 sharded "
+                         "kernel; precision applies to the single-device "
+                         "path only (drop precision or mesh)")
     from .engine import check_spin
     check_spin(chif)
     times, rows, sph = _prep(times, data, spherical_modes)
@@ -1062,6 +1091,10 @@ def batch_fit_events(times, data, modes, Mf, chif, t0, T=100,
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
+    if mesh is not None and precision != "x64":
+        raise ValueError("mesh sweeps run the split-complex f64 sharded "
+                         "kernel; precision applies to the single-device "
+                         "path only (drop precision or mesh)")
     times = np.asarray(times, float)
     rows = np.asarray(data, complex)
     if rows.ndim != 2:

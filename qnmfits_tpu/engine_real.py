@@ -422,7 +422,7 @@ def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
 # window in the chunk (t0_b >= tref), so their weights are zero and the
 # clamp is exact.
 
-def _analytic_grams(times, wr, wi, t0c, W, a=None, m=None):
+def _analytic_grams(times, wr, wi, t0c, a, m):
     """Closed-form window Grams on a UNIFORM time grid (geq windows).
 
     Each Gram entry sums a geometric series: with
@@ -450,11 +450,10 @@ def _analytic_grams(times, wr, wi, t0c, W, a=None, m=None):
     K = times.shape[0]
     tref = t0c[0]
 
-    if a is None:
-        a = jnp.sum((times[None, :] < t0c[:, None]).astype(jnp.int32),
-                    axis=1)                               # (Bc,) first index
-    if m is None:
-        m = jnp.sum(W.astype(jnp.int32), axis=1)          # (Bc,) count
+    # a: (Bc,) first in-window index; m: (Bc,) sample count.  The sole
+    # caller (_chunk_sweep_factored) derives both from its geq window
+    # weights -- a 'closest'-style a combined with a mismatched m would
+    # be silently wrong, so they are required together.
     # Window starts GATHERED from the actual grid (reconstructing them
     # as times[0] + a*dlt would drift by a * (step error): a grid that
     # just passes the _uniform_spacing gate could then exceed the
@@ -667,7 +666,7 @@ def _chunk_sweep_factored(times, dre, dim, wr, wi, mre, mim, t0c, Tc,
                       axis=1)
         m_w = jnp.sum(W.astype(jnp.int32), axis=1)
         Gt_re, Gt_im, Gtau_re, Gtau_im = _analytic_grams(
-            times, wr, wi, t0c, W, a=a_w, m=m_w)
+            times, wr, wi, t0c, a_w, m_w)
         # Trapezoid projections from the window-sum projections: on a
         # uniform grid with contiguous windows, Tau = dlt*W minus
         # (dlt/2) at the two window-edge samples, so Tau @ R =

@@ -48,10 +48,13 @@ BATCH = [
      [sys.executable, os.path.join(REPO, "scripts/perf_omega_bordered.py")],
      1800),
     # bench.py supervises itself (BENCH_TPU_TIMEOUT) and prints the
-    # JSON line with the device that actually ran.
+    # JSON line with the device that actually ran.  The outer timeout
+    # must cover bench's own worst case: a 900 s stalled-TPU attempt
+    # PLUS the ~7 min CPU fallback -- killing bench mid-fallback would
+    # lose the measurement the supervisor chain exists to protect.
     ("bench",
      [sys.executable, os.path.join(REPO, "bench.py")],
-     1200),
+     2100),
 ]
 
 

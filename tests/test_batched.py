@@ -220,6 +220,28 @@ def test_batch_mismatch_t0_routes_dynamic():
 class TestModesetSweep:
     """The t0 x mode-set sweep (batch_mismatch_t0_modesets)."""
 
+    def test_mesh_rejects_non_x64_precision(self, syn_mm):
+        """The sharded kernels run split-complex f64 unconditionally;
+        a non-default precision combined with mesh= must fail loudly
+        instead of being silently ignored."""
+        import pytest
+        mode_sets = [[(2, 2, 0, 1)]]
+        t0s = np.linspace(0.0, 10.0, 4)
+        for fn in (batched.batch_mismatch_t0_modesets,
+                   batched.batch_mismatch_t0_modesets_dynamic):
+            with pytest.raises(ValueError, match="split-complex"):
+                fn(syn_mm["times"], syn_mm["data_dict"], mode_sets,
+                   syn_mm["Mf"], syn_mm["chif"], t0s,
+                   spherical_modes=syn_mm["spherical_modes"],
+                   precision="f32", mesh="auto")
+        with pytest.raises(ValueError, match="split-complex"):
+            batched.batch_fit_events(
+                syn_mm["times"],
+                np.stack([syn_mm["data_dict"][(2, 2)]] * 2),
+                mode_sets[0], np.full(2, syn_mm["Mf"]),
+                np.full(2, syn_mm["chif"]), np.zeros(2),
+                precision="f32", mesh="auto")
+
     def test_matches_per_set_loop(self, syn_mm):
         mode_sets = [
             [(2, 2, n, 1) for n in range(nmax)] for nmax in (1, 2, 4)
@@ -801,12 +823,16 @@ class TestOmegaBordered:
         dm = syn["data"][idx]
         re_axis = np.linspace(*re_minmax, res)
         im_axis = np.linspace(*im_minmax, res)
-        for q in range(res * res):
-            wf = re_axis[q // res] + 1j * im_axis[q % res]
-            a = np.exp(-1j * np.concatenate([fixed, [wf]])[None, :]
-                       * (tm - t0)[:, None])
-            C_ref, *_ = np.linalg.lstsq(a, dm, rcond=None)
-            np.testing.assert_allclose(C[q], C_ref, rtol=0, atol=1e-8)
+        assert C.shape == (res, res, len(fixed) + 1)
+        for i_im in range(res):
+            for i_re in range(res):
+                # C is aligned with mm's transposed [im, re] layout.
+                wf = re_axis[i_re] + 1j * im_axis[i_im]
+                a = np.exp(-1j * np.concatenate([fixed, [wf]])[None, :]
+                           * (tm - t0)[:, None])
+                C_ref, *_ = np.linalg.lstsq(a, dm, rcond=None)
+                np.testing.assert_allclose(C[i_im, i_re], C_ref,
+                                           rtol=0, atol=1e-8)
 
 
 class TestAnalyticGram:
@@ -824,6 +850,13 @@ class TestAnalyticGram:
         assert not _uniform_spacing(t + rng.normal(0, 1e-3, t.size))
         assert not _uniform_spacing(t[::-1])
         assert not _uniform_spacing(np.array([1.0]))
+        # f32 storage: a rounded true linspace passes, but jitter a few
+        # f32 ulps above the storage floor must NOT ride the analytic
+        # path (it previously slipped under a 16-ulp blanket tolerance).
+        t64 = np.linspace(0.0, 150.0, 2001)
+        assert _uniform_spacing(t64.astype(np.float32))
+        jit = t64 + rng.normal(0.0, 1e-4, t64.size)
+        assert not _uniform_spacing(jit.astype(np.float32))
 
     def test_kernel_matches_summation(self, syn):
         """analytic=True == analytic=False on the factored kernel,
