@@ -1,0 +1,126 @@
+"""Amplitude-covariance diagnostics (qnmfits_tpu.uncertainty).
+
+The statistical claims are validated by construction AND by Monte
+Carlo: under the white-complex-noise model the predicted covariance
+must match the empirical scatter of the lstsq amplitudes over repeated
+noise draws.
+"""
+
+import numpy as np
+import pytest
+
+from qnmfits_tpu import amplitude_uncertainty
+from qnmfits_tpu.testing import synthetic_multimode, synthetic_single
+
+
+@pytest.fixture(scope="module")
+def syn():
+    return synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                            seed=2)
+
+
+class TestAmplitudeUncertainty:
+
+    def test_amplitudes_match_the_fit(self, syn):
+        """C is the SAME lstsq solution ringdown_fit ships."""
+        from qnmfits_tpu import ringdown_fit
+
+        out = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=0.0, T=80.0)
+        fit = ringdown_fit(syn["times"], syn["data"], syn["modes"],
+                           syn["Mf"], syn["chif"], t0=0.0, T=80.0)
+        np.testing.assert_allclose(out["C"], fit["C"], rtol=0, atol=1e-12)
+        np.testing.assert_allclose(out["omega"], fit["frequencies"],
+                                   rtol=0, atol=0)
+        assert out["cov"].shape == (3, 3)
+        # Hermitian, PSD diagonal.
+        np.testing.assert_allclose(out["cov"], out["cov"].conj().T,
+                                   rtol=0, atol=1e-20)
+        assert np.all(out["sigma_C"] >= 0)
+
+    def test_covariance_matches_monte_carlo(self, syn):
+        """Predicted per-mode variances match the empirical scatter of
+        the lstsq amplitudes over 600 known-sigma noise draws, and the
+        fully standardized errors are unit-variance (exercises the
+        off-diagonal structure, not just the diagonal)."""
+        noise = 1e-3                      # per quadrature component
+        sigma = noise * np.sqrt(2.0)      # E|n_k|^2 = 2 noise^2
+        out = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=0.0, T=80.0, sigma=sigma)
+
+        # Rebuild the same masked design to draw the MC ensemble.
+        mask = (syn["times"] >= 0.0) & (syn["times"] - 0.0 < 80.0)
+        tm = syn["times"][mask]
+        a = np.exp(-1j * out["omega"][None, :] * tm[:, None])
+        pinv = np.linalg.pinv(a)
+        rng = np.random.default_rng(7)
+        R = 600
+        n = noise * (rng.standard_normal((R, tm.size))
+                     + 1j * rng.standard_normal((R, tm.size)))
+        dC = n @ pinv.T                               # (R, J) Chat - C
+        emp = (dC.conj().T @ dC) / R                  # empirical cov
+
+        np.testing.assert_allclose(np.real(np.diag(emp)),
+                                   np.real(np.diag(out["cov"])),
+                                   rtol=0.2)
+        # Whitened errors: z = L^{-1} dC has E|z_j|^2 = 1 per mode.
+        L = np.linalg.cholesky(out["cov"])
+        z = np.linalg.solve(L, dC.T)
+        np.testing.assert_allclose(np.mean(np.abs(z) ** 2, axis=1),
+                                   np.ones(3), rtol=0.2)
+
+    def test_sigma_estimated_from_residual(self):
+        """With sigma omitted, sigma2 is recovered from the residual to
+        the 1/sqrt(dof) statistical floor."""
+        noise = 5e-4
+        s = synthetic_single(modes=[(2, 2, 0, 1), (2, 2, 1, 1)],
+                             noise=noise, seed=9)
+        out = amplitude_uncertainty(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            t0=0.0, T=100.0)
+        sigma2_true = 2.0 * noise ** 2
+        assert abs(out["sigma2"] - sigma2_true) < 0.1 * sigma2_true
+        assert out["dof"] == out["n_obs"] - 2
+
+    def test_snr_separates_present_from_absent_modes(self):
+        """A loud injected mode gets snr >> 1; a model mode absent from
+        the data stays within a few sigma of zero."""
+        modes = [(2, 2, 0, 1), (2, 2, 1, 1), (3, 2, 0, 1)]
+        s = synthetic_single(modes=modes[:2], amplitudes=[1.0, 0.5],
+                             noise=1e-4, seed=4)
+        out = amplitude_uncertainty(
+            s["times"], s["data"], modes, s["Mf"], s["chif"],
+            t0=0.0, T=100.0)
+        assert out["snr"][0] > 100 and out["snr"][1] > 100
+        assert np.abs(out["C"][2]) < 5.0 * out["sigma_C"][2]
+
+    def test_multimode_dict_data(self):
+        """Dict data + mixing-stacked design: same amplitudes as the
+        multimode fit, covariance over the stacked samples."""
+        from qnmfits_tpu import multimode_ringdown_fit
+
+        s = synthetic_multimode(seed=3)
+        out = amplitude_uncertainty(
+            s["times"], s["data_dict"], s["modes"], s["Mf"], s["chif"],
+            t0=0.0, T=80.0, spherical_modes=s["spherical_modes"])
+        fit = multimode_ringdown_fit(
+            s["times"], s["data_dict"], s["modes"], s["Mf"], s["chif"],
+            t0=0.0, T=80.0, spherical_modes=s["spherical_modes"])
+        np.testing.assert_allclose(out["C"], fit["C"], rtol=0, atol=1e-12)
+        assert out["n_obs"] == 2 * np.count_nonzero(
+            (s["times"] >= 0.0) & (s["times"] < 80.0))
+
+    def test_degenerate_modes_raise(self, syn):
+        with pytest.raises(ValueError, match="degenerate"):
+            amplitude_uncertainty(
+                syn["times"], syn["data"],
+                [(2, 2, 0, 1), (2, 2, 0, 1)], syn["Mf"], syn["chif"],
+                t0=0.0, T=80.0)
+
+    def test_empty_window_raises(self, syn):
+        with pytest.raises(ValueError, match="empty"):
+            amplitude_uncertainty(
+                syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                syn["chif"], t0=1e6, T=10.0)
