@@ -46,3 +46,18 @@ orth = qf.orthonormal_decomposition(
     t0=0.0, T=100.0)
 with np.printoptions(precision=6, suppress=True):
     print("\ncumulative explained power:", orth["cumulative_explained"])
+
+# Formal model-order selection over the ladder: BIC should pick the
+# injected 3-overtone model, and the F-test p-values should collapse
+# exactly when the added overtone is real.
+sel = qf.mode_selection(
+    syn["times"], syn["data"],
+    [[(2, 2, n, 1) for n in range(j + 1)] for j in range(6)],
+    syn["Mf"], syn["chif"], t0=0.0, T=100.0)
+print(f"\nmodel order by BIC: n<={sel['best_bic']} "
+      f"(injected n<=2)")
+print(f"{'model':>8s} {'RSS':>10s} {'dBIC':>8s} {'F-test p':>10s}")
+for j in range(6):
+    p = "" if j == 0 else f"{sel['pvalue'][j-1]:10.2e}"
+    print(f"  n<={j:2d} {sel['rss'][j]:10.3e} "
+          f"{sel['delta_bic'][j]:8.1f} {p:>10s}")

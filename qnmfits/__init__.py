@@ -34,7 +34,7 @@ __all__ = [
     "mismatch_omega_grid", "calculate_epsilon", "free_frequency_fit",
     "rational_filter", "fit_events", "calculate_epsilon_array",
     "free_frequency_fit_array", "orthonormal_decomposition",
-    "orthonormal_t0_sweep",
+    "orthonormal_t0_sweep", "amplitude_uncertainty", "mode_selection",
     "plot_ringdown", "plot_ringdown_modes", "plot_mode_amplitudes",
     "plot_mismatch_M_chi_grid", "plot_mismatch_omega_grid",
 ]

@@ -94,7 +94,7 @@ from .orthonormal import (  # noqa: E402
     orthonormal_decomposition,
     orthonormal_t0_sweep,
 )
-from .uncertainty import amplitude_uncertainty  # noqa: E402
+from .uncertainty import amplitude_uncertainty, mode_selection  # noqa: E402
 from .qnm_api import download_cook_data  # noqa: E402
 
 __version__ = "0.3.0"

@@ -34,7 +34,43 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["amplitude_uncertainty"]
+__all__ = ["amplitude_uncertainty", "mode_selection"]
+
+
+def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
+                   spherical_modes):
+    """(a, d, omega): the EXACT lstsq system one fit solves.
+
+    Shared by `amplitude_uncertainty` and `mode_selection` so every
+    statistic quantifies the shipped fit (reference design matrix
+    qnmfits.py:280-283 single-mode, :628-631 multimode stacking).
+    """
+    from .batched import _canon, _prep
+    from .engine import SpectrumEvaluator, _window, check_spin
+
+    times, rows, sph = _prep(times, data, spherical_modes)
+    check_spin(chif)
+    ev = SpectrumEvaluator(list(_canon(modes)),
+                           list(sph) if sph else None)
+    omega = np.asarray(ev.omega(chif, Mf))
+    mu = np.ones((1, omega.shape[0]), complex) if sph is None \
+        else np.asarray(ev.mu(chif))
+    J = omega.shape[0]
+    if rows.shape[0] != mu.shape[0]:
+        raise ValueError(
+            f"data has {rows.shape[0]} spherical-mode rows but the "
+            f"mixing matrix expects {mu.shape[0]}")
+
+    mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
+                              t0_method)).astype(bool)
+    if not np.any(mask):
+        raise ValueError("empty fit window (check t0/T)")
+    tm = np.asarray(times)[mask]
+
+    phi = np.exp(-1j * omega[None, :] * (tm - float(t0))[:, None])
+    a = (mu[:, None, :] * phi[None, :, :]).reshape(-1, J)   # (I*Km, J)
+    d = rows[:, mask].reshape(-1)
+    return a, d, omega
 
 
 def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
@@ -61,34 +97,9 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
       n_obs      complex data samples in the fit (I * K_masked),
       dof        n_obs - J residual degrees of freedom.
     """
-    from .batched import _canon, _prep
-    from .engine import SpectrumEvaluator, _window, check_spin
-
-    times, rows, sph = _prep(times, data, spherical_modes)
-    check_spin(chif)
-    ev = SpectrumEvaluator(list(_canon(modes)),
-                           list(sph) if sph else None)
-    omega = np.asarray(ev.omega(chif, Mf))
-    mu = np.ones((1, omega.shape[0]), complex) if sph is None \
-        else np.asarray(ev.mu(chif))
+    a, d, omega = _masked_design(times, data, modes, Mf, chif, t0,
+                                 t0_method, T, spherical_modes)
     J = omega.shape[0]
-    if rows.shape[0] != mu.shape[0]:
-        raise ValueError(
-            f"data has {rows.shape[0]} spherical-mode rows but the "
-            f"mixing matrix expects {mu.shape[0]}")
-
-    mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
-                              t0_method)).astype(bool)
-    if not np.any(mask):
-        raise ValueError("empty fit window (check t0/T)")
-    tm = np.asarray(times)[mask]
-
-    # The fits' design matrix exactly (reference qnmfits.py:280-283,
-    # 628-631): per spherical mode i, columns mu_ij e^{-i w_j (t-t0)},
-    # vertically stacked.
-    phi = np.exp(-1j * omega[None, :] * (tm - float(t0))[:, None])
-    a = (mu[:, None, :] * phi[None, :, :]).reshape(-1, J)   # (I*Km, J)
-    d = rows[:, mask].reshape(-1)
 
     C, *_ = np.linalg.lstsq(a, d, rcond=None)
 
@@ -135,4 +146,102 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
         "sigma2": sigma2,
         "n_obs": int(n_obs),
         "dof": int(dof),
+    }
+
+
+def mode_selection(times, data, models, Mf, chif, t0, t0_method="geq",
+                   T=100, spherical_modes=None):
+    """Rank candidate QNM mode sets on one window by AIC/BIC + F-tests.
+
+    "How many overtones does the data actually support?" -- the
+    question behind overtone-ladder studies (reference
+    even_more_overtones.ipynb sweeps the ladder but offers no
+    selection criterion).  Each entry of `models` is a mode list as
+    accepted by `ringdown_fit`; all are fit on the SAME window with
+    the same design-matrix semantics as the shipped fits.
+
+    Treating each complex sample as two real observations with equal
+    per-quadrature variance (the white-complex-noise model of
+    `amplitude_uncertainty`), a J-mode fit has k = 2J + 1 real
+    parameters (Re/Im amplitudes + the noise variance), N = 2 n_obs
+    real observations, and concentrated Gaussian criteria
+
+        AIC = N ln(RSS/N) + 2 k,      BIC = N ln(RSS/N) + k ln N.
+
+    Between CONSECUTIVE candidates where the earlier mode set is a
+    subset of the later (a nested pair, e.g. an overtone ladder), the
+    extra-sum-of-squares F statistic and its p-value are reported:
+    small p means the added modes buy statistically real residual
+    reduction.  Non-nested consecutive pairs get NaN.
+
+    Returns a dict of aligned lists/arrays over the candidates:
+      models, n_modes, n_params, rss, aic, bic,
+      delta_aic / delta_bic (vs the respective minimum),
+      best_aic / best_bic   (argmin indices -- best_bic is THE answer),
+      fstat, pvalue         ((len(models)-1,) consecutive nested tests),
+      n_obs.
+
+    Caveats: identical to `amplitude_uncertainty` -- exact for white
+    complex noise, a relative diagnostic on NR truncation error.  On
+    noiseless synthetic data RSS underflows to rounding noise and the
+    criteria degenerate; add noise or interpret only the RSS column.
+    """
+    if len(models) < 2:
+        raise ValueError("mode_selection needs at least two candidate "
+                         "mode sets to compare")
+    rss, n_par, n_modes, n_obs = [], [], [], None
+    for modes in models:
+        a, d, omega = _masked_design(times, data, modes, Mf, chif, t0,
+                                     t0_method, T, spherical_modes)
+        C, *_ = np.linalg.lstsq(a, d, rcond=None)
+        r = d - a @ C
+        rss.append(float(np.real(np.vdot(r, r))))
+        n_modes.append(omega.shape[0])
+        n_par.append(2 * omega.shape[0] + 1)
+        if n_obs is None:
+            n_obs = d.shape[0]
+        elif d.shape[0] != n_obs:
+            raise ValueError("candidate models must share the window "
+                             "(same data/t0/T/spherical_modes)")
+    rss = np.asarray(rss)
+    n_par = np.asarray(n_par)
+    N = 2 * n_obs
+    if np.any(n_par >= N):
+        raise ValueError(f"a candidate has {n_par.max()} parameters for "
+                         f"{N} real observations")
+    # Floor RSS at a denormal so noiseless round-trips stay finite.
+    logterm = N * np.log(np.maximum(rss, 1e-280) / N)
+    aic = logterm + 2.0 * n_par
+    bic = logterm + n_par * np.log(N)
+
+    from scipy import stats
+
+    fstat = np.full(len(models) - 1, np.nan)
+    pval = np.full(len(models) - 1, np.nan)
+    for i in range(len(models) - 1):
+        small = {tuple(m) for m in models[i]}
+        big = {tuple(m) for m in models[i + 1]}
+        if not (small < big):
+            continue                      # not nested: no F-test
+        df1 = n_par[i + 1] - n_par[i]
+        df2 = N - n_par[i + 1]
+        num = max(rss[i] - rss[i + 1], 0.0) / df1
+        den = max(rss[i + 1], 1e-280) / df2
+        fstat[i] = num / den
+        pval[i] = float(stats.f.sf(fstat[i], df1, df2))
+
+    return {
+        "models": list(models),
+        "n_modes": np.asarray(n_modes),
+        "n_params": n_par,
+        "rss": rss,
+        "aic": aic,
+        "bic": bic,
+        "delta_aic": aic - aic.min(),
+        "delta_bic": bic - bic.min(),
+        "best_aic": int(np.argmin(aic)),
+        "best_bic": int(np.argmin(bic)),
+        "fstat": fstat,
+        "pvalue": pval,
+        "n_obs": int(n_obs),
     }

@@ -124,3 +124,72 @@ class TestAmplitudeUncertainty:
             amplitude_uncertainty(
                 syn["times"], syn["data"], syn["modes"], syn["Mf"],
                 syn["chif"], t0=1e6, T=10.0)
+
+
+class TestModeSelection:
+    """Model-order selection over an overtone ladder (mode_selection)."""
+
+    @pytest.fixture(scope="class")
+    def ladder(self):
+        inj = [(2, 2, n, 1) for n in range(3)]
+        s = synthetic_single(modes=inj, amplitudes=[1.0, 2.0, 4.0],
+                             noise=1e-3, seed=11)
+        models = [[(2, 2, n, 1) for n in range(j + 1)] for j in range(6)]
+        return s, models
+
+    def test_bic_picks_the_injected_order(self, ladder):
+        from qnmfits_tpu import mode_selection
+
+        s, models = ladder
+        out = mode_selection(s["times"], s["data"], models, s["Mf"],
+                             s["chif"], t0=0.0, T=100.0)
+        assert out["best_bic"] == 2          # the 3-overtone truth
+        # RSS is monotone non-increasing along a nested ladder.
+        assert np.all(np.diff(out["rss"]) <= 1e-12)
+        # delta columns are anchored at their minima.
+        assert out["delta_bic"][out["best_bic"]] == 0.0
+        assert out["delta_aic"][out["best_aic"]] == 0.0
+        # AIC penalizes less: it never picks a SMALLER model than BIC.
+        assert out["best_aic"] >= out["best_bic"]
+
+    def test_f_test_flags_real_overtones_only(self, ladder):
+        from qnmfits_tpu import mode_selection
+
+        s, models = ladder
+        out = mode_selection(s["times"], s["data"], models, s["Mf"],
+                             s["chif"], t0=0.0, T=100.0)
+        # Adding injected overtones: decisive (p ~ 0).
+        assert out["pvalue"][0] < 1e-10 and out["pvalue"][1] < 1e-10
+        # Adding absent overtones: not significant.
+        assert out["pvalue"][2] > 1e-3
+
+    def test_non_nested_pair_gets_nan(self, ladder):
+        from qnmfits_tpu import mode_selection
+
+        s, _ = ladder
+        models = [[(2, 2, 0, 1)], [(2, 2, 1, 1), (2, 2, 2, 1)]]
+        out = mode_selection(s["times"], s["data"], models, s["Mf"],
+                             s["chif"], t0=0.0, T=100.0)
+        assert np.isnan(out["fstat"][0]) and np.isnan(out["pvalue"][0])
+
+    def test_requires_two_candidates(self, ladder):
+        from qnmfits_tpu import mode_selection
+
+        s, _ = ladder
+        with pytest.raises(ValueError, match="at least two"):
+            mode_selection(s["times"], s["data"], [[(2, 2, 0, 1)]],
+                           s["Mf"], s["chif"], t0=0.0)
+
+    def test_matches_fit_rss(self, ladder):
+        """Per-candidate RSS equals the shipped fit's residual power."""
+        from qnmfits_tpu import mode_selection, ringdown_fit
+
+        s, models = ladder
+        out = mode_selection(s["times"], s["data"], models, s["Mf"],
+                             s["chif"], t0=0.0, T=100.0)
+        fit = ringdown_fit(s["times"], s["data"], models[2], s["Mf"],
+                           s["chif"], t0=0.0, T=100.0)
+        r = fit["data"] - fit["model"]
+        np.testing.assert_allclose(out["rss"][2],
+                                   float(np.real(np.vdot(r, r))),
+                                   rtol=1e-10)
