@@ -66,6 +66,17 @@ for n, (p, c) in enumerate(zip(out["power"] / out["data_norm"],
                                out["cumulative_explained"])):
     print(f"  n={n}: marginal {p:.2e}  cumulative {c:.10f}")
 
+# Formal model order on noisy data (qf.mode_selection): at noise 1e-4
+# the deep end of the ladder (injected ~30x the fundamental but decayed
+# by t0=10) stops being statistically resolvable -- BIC reports the
+# supported order rather than the injected one.
+noisy = h22 + 1e-4 * (rng.standard_normal(times.size)
+                      + 1j * rng.standard_normal(times.size))
+sel = qf.mode_selection(times, noisy, mode_sets[:12], Mf, chif, t0=10.0)
+print(f"BIC-supported ladder depth at t0=10, noise 1e-4: "
+      f"n<={sel['best_bic']} of n<=11 tried "
+      f"(first non-significant F-test at n={int(np.argmax(sel['pvalue'] > 0.01))})")
+
 # Beyond the reference's reach: the SAME study on the (3,3) harmonic.
 # Cook data (and therefore the reference) stops at n<=7; the baked
 # tables carry the l=3/4 ladders to n<=14 (scripts/extend_overtones.py),
