@@ -73,9 +73,11 @@ for n, (p, c) in enumerate(zip(out["power"] / out["data_norm"],
 noisy = h22 + 1e-4 * (rng.standard_normal(times.size)
                       + 1j * rng.standard_normal(times.size))
 sel = qf.mode_selection(times, noisy, mode_sets[:12], Mf, chif, t0=10.0)
+nonsig = np.flatnonzero(sel["pvalue"] > 0.01)
+verdict = (f"first non-significant added overtone n={nonsig[0] + 1}"
+           if nonsig.size else "every addition significant")
 print(f"BIC-supported ladder depth at t0=10, noise 1e-4: "
-      f"n<={sel['best_bic']} of n<=11 tried "
-      f"(first non-significant F-test at n={int(np.argmax(sel['pvalue'] > 0.01))})")
+      f"n<={sel['best_bic']} of n<=11 tried ({verdict})")
 
 # Beyond the reference's reach: the SAME study on the (3,3) harmonic.
 # Cook data (and therefore the reference) stops at n<=7; the baked

@@ -190,19 +190,24 @@ def mode_selection(times, data, models, Mf, chif, t0, t0_method="geq",
         raise ValueError("mode_selection needs at least two candidate "
                          "mode sets to compare")
     rss, n_par, n_modes, n_obs = [], [], [], None
-    for modes in models:
+    for ci, modes in enumerate(models):
         a, d, omega = _masked_design(times, data, modes, Mf, chif, t0,
                                      t0_method, T, spherical_modes)
-        C, *_ = np.linalg.lstsq(a, d, rcond=None)
+        C, _, rank, _ = np.linalg.lstsq(a, d, rcond=None)
+        if rank < omega.shape[0]:
+            raise ValueError(
+                f"candidate {ci} is numerically degenerate on this "
+                f"window (design rank {rank} < {omega.shape[0]} modes); "
+                "its parameter count -- and every criterion built on "
+                "it -- would be fictitious.  Drop duplicated/degenerate "
+                "modes or widen the window")
         r = d - a @ C
         rss.append(float(np.real(np.vdot(r, r))))
         n_modes.append(omega.shape[0])
         n_par.append(2 * omega.shape[0] + 1)
-        if n_obs is None:
-            n_obs = d.shape[0]
-        elif d.shape[0] != n_obs:
-            raise ValueError("candidate models must share the window "
-                             "(same data/t0/T/spherical_modes)")
+        # d is built from times/data/t0/T only, so the window is shared
+        # across candidates by construction.
+        n_obs = d.shape[0]
     rss = np.asarray(rss)
     n_par = np.asarray(n_par)
     N = 2 * n_obs
@@ -223,8 +228,12 @@ def mode_selection(times, data, models, Mf, chif, t0, t0_method="geq",
         big = {tuple(m) for m in models[i + 1]}
         if not (small < big):
             continue                      # not nested: no F-test
-        df1 = n_par[i + 1] - n_par[i]
-        df2 = N - n_par[i + 1]
+        # Extra-sum-of-squares test on the MEAN parameters: the shared
+        # variance parameter cancels from df1 and is excluded from the
+        # residual dof (df2 = N - 2 J_big, matching
+        # amplitude_uncertainty's dof = n_obs - J in real counts).
+        df1 = 2 * (n_modes[i + 1] - n_modes[i])
+        df2 = N - 2 * n_modes[i + 1]
         num = max(rss[i] - rss[i + 1], 0.0) / df1
         den = max(rss[i + 1], 1e-280) / df2
         fstat[i] = num / den

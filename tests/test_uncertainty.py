@@ -193,3 +193,14 @@ class TestModeSelection:
         np.testing.assert_allclose(out["rss"][2],
                                    float(np.real(np.vdot(r, r))),
                                    rtol=1e-10)
+
+    def test_degenerate_candidate_raises(self, ladder):
+        """A rank-deficient candidate (duplicated mode) must raise, not
+        silently mis-count parameters (lstsq rank is checked)."""
+        from qnmfits_tpu import mode_selection
+
+        s, _ = ladder
+        models = [[(2, 2, 0, 1)], [(2, 2, 0, 1), (2, 2, 0, 1)]]
+        with pytest.raises(ValueError, match="degenerate"):
+            mode_selection(s["times"], s["data"], models, s["Mf"],
+                           s["chif"], t0=0.0, T=100.0)
