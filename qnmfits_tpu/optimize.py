@@ -193,7 +193,11 @@ def _newton_polish(mm_fn, x0, f0, iters: int = 12):
 
 
 @lru_cache(maxsize=64)
-def _free_freq_sweep_fn(modes, t0_method, maxiter):
+def _free_freq_sweep_parts(modes, t0_method, maxiter):
+    """(ev, one): the spectrum evaluator and the per-window optimiser.
+
+    Shared by the single-device vmapped program and the mesh-sharded
+    runner so both run the IDENTICAL per-window computation."""
     ev = SpectrumEvaluator(list(modes)) if modes else None
 
     # Deterministic coarse seeding over the scipy path's search box

@@ -101,7 +101,16 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
                                  t0_method, T, spherical_modes)
     J = omega.shape[0]
 
-    C, *_ = np.linalg.lstsq(a, d, rcond=None)
+    C, _, rank, _ = np.linalg.lstsq(a, d, rcond=None)
+    if rank < J:
+        # lstsq silently truncated (rcond regularisation): C would be a
+        # minimum-norm solution while the Cholesky-based covariance
+        # below describes the full-rank estimator -- two different
+        # estimators.  Refuse, like mode_selection does.
+        raise ValueError(
+            f"design rank {rank} < {J} modes: the lstsq amplitudes are "
+            "a minimum-norm choice with no finite covariance -- drop "
+            "degenerate modes or widen the window")
 
     n_obs = d.shape[0]
     dof = n_obs - J
@@ -134,7 +143,9 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
     denom = np.outer(sigma_C, sigma_C)
     corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
                     0.0 + 0.0j)
-    with np.errstate(divide="ignore"):
+    # invalid='ignore' too: with sigma=0 and a zero amplitude the eager
+    # np.abs(C)/sigma_C branch is 0/0 before np.where discards it.
+    with np.errstate(divide="ignore", invalid="ignore"):
         snr = np.where(sigma_C > 0, np.abs(C) / sigma_C, np.inf)
     return {
         "omega": omega,

@@ -215,9 +215,16 @@ class SXS(BaseWaveform):
         self.Mf = md["remnant_mass"]
         self.chif = np.array(md["remnant_dimensionless_spin"])
         self.chif_mag = np.linalg.norm(self.chif)
-        chif_norm = self.chif / self.chif_mag
-        self.thetaf = np.arccos(chif_norm[2])
-        self.phif = np.arctan2(chif_norm[1], chif_norm[0])
+        # Zero-magnitude remnant spin: the reference divides 0/0 and
+        # NaNs thetaf/phif (Simulation.py:178-181); use the same
+        # already-aligned convention as rotate_modes (base.py:141-151).
+        if self.chif_mag > 0:
+            chif_norm = self.chif / self.chif_mag
+            self.thetaf = np.arccos(chif_norm[2])
+            self.phif = np.arctan2(chif_norm[1], chif_norm[0])
+        else:
+            self.thetaf = 0.0
+            self.phif = 0.0
         self.vf = np.array(md["remnant_velocity"])
 
         # Derived properties (Simulation.py:202-241).

@@ -177,6 +177,57 @@ def test_zero_time_int_default_sets_method(fake_catalog, monkeypatch):
     assert wf.zero_time_method == "Simulation default"
 
 
+def test_zero_spin_remnant_loads(tmp_path, monkeypatch):
+    """A non-spinning remnant (chif=[0,0,0]) must load with thetaf=0
+    and run the full pipeline (regression: the reference divides 0/0
+    at Simulation.py:178-181 and NaNs thetaf/phif)."""
+    from qnmfits_tpu.waveforms import sxs as sxs_mod
+
+    root = tmp_path / "cache"
+    sim = root / "SXS_BBH_7777" / "Lev3"
+    sim.mkdir(parents=True)
+    md = {
+        "simulation_name": "SXS:BBH:7777/Lev3",
+        "reference_time": 200.0,
+        "reference_mass1": 0.5, "reference_mass2": 0.5,
+        "reference_dimensionless_spin1": [0.0, 0.0, 0.6],
+        "reference_dimensionless_spin2": [0.0, 0.0, -0.6],
+        "reference_position1": [5.0, 0.1, 0.0],
+        "reference_position2": [-5.0, -0.1, 0.0],
+        "reference_orbital_frequency": [0.0, 0.0, 0.017],
+        "common_horizon_time": 300.0, "number_of_orbits": 5.2,
+        "remnant_mass": 0.95,
+        "remnant_dimensionless_spin": [0.0, 0.0, 0.0],
+        "remnant_velocity": [0.0, 0.0, 0.0],
+    }
+    (sim / "metadata.json").write_text(json.dumps(md))
+    times = np.arange(0.0, 400.0, 0.2)
+    h = 0.3 * np.exp(-((times - 300.0) / 60.0) ** 2) \
+        * np.exp(-2j * 0.2 * (times - 300.0))
+    with h5py.File(sim / "rhOverM_Asymptotic_GeometricUnits_CoM.h5",
+                   "w") as f:
+        grp = f.create_group("Extrapolated_N2.dir")
+        for m in range(-2, 3):
+            hm = h if abs(m) == 2 else np.zeros(len(times), complex)
+            grp.create_dataset(
+                f"Y_l2_m{m}.dat",
+                data=np.stack([times, hm.real, hm.imag], axis=1))
+
+    monkeypatch.setattr(sxs_mod, "_cache_dirs", lambda: [root])
+    wf = sxs_mod.SXS(7777, zero_time=(2, 2), ellMax=2,
+                     transform="rotation")
+    assert wf.chif_mag == 0.0
+    assert wf.thetaf == 0.0 and wf.phif == 0.0
+    assert np.all(np.isfinite(wf.h[2, 2]))
+    assert np.isfinite(wf.Moft).all()
+    assert np.isfinite(wf.chioft_mag).all()
+    # Downstream fit at chif=0 (Schwarzschild spectrum) completes.
+    from qnmfits_tpu import ringdown_fit
+    out = ringdown_fit(wf.times, wf.h[2, 2], [(2, 2, 0, 1)],
+                       wf.Mf, wf.chif_mag, t0=5.0, T=60)
+    assert np.isfinite(out["mismatch"])
+
+
 def test_rotate_modes_aligned_spin_no_nan():
     """Exactly z-aligned remnant spin: rotation is a no-op, not NaN
     (regression: 0/0 in the rotation axis)."""
