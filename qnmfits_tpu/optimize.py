@@ -187,8 +187,12 @@ def _newton_polish(mm_fn, x0, f0, iters: int = 12):
         lam = jnp.where(better, lam * 0.3, lam * 8.0)
         return (x, fx, lam), None
 
-    (x, fx, _), _ = jax.lax.scan(body, (x0, f0, jnp.asarray(1e-9)),
-                                 None, length=iters)
+    # Initial damping derived from f0 (not a fresh constant) so it
+    # carries f0's varying-manual-axes under shard_map: the carry's
+    # vma must be loop-invariant (scan-vma rule).
+    lam0 = jnp.zeros_like(f0) + 1e-9
+    (x, fx, _), _ = jax.lax.scan(body, (x0, f0, lam0), None,
+                                 length=iters)
     return x, fx
 
 
@@ -257,6 +261,13 @@ def _free_freq_sweep_parts(modes, t0_method, maxiter):
         ok = jnp.linalg.norm(jax.grad(mm_fn)(x)) < 1e-7
         return x, fx, ok
 
+    return ev, one
+
+
+@lru_cache(maxsize=64)
+def _free_freq_sweep_fn(modes, t0_method, maxiter):
+    ev, one = _free_freq_sweep_parts(modes, t0_method, maxiter)
+
     def run(times, data, Mf, chif, t0s, Ts, x0):
         fixed = ev.omega(chif, Mf) if ev is not None \
             else jnp.zeros((0,), jnp.complex128)
@@ -266,10 +277,47 @@ def _free_freq_sweep_parts(modes, t0_method, maxiter):
     return jax.jit(run)
 
 
+def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
+                             times, data, Mf, chif, t0s, Ts, x0):
+    """Mesh-sharded free-frequency sweep: start times DP over 'sweep'.
+
+    Pure data parallelism (SURVEY section 2.6's only parallel axis for
+    this workload): every device runs the IDENTICAL per-window
+    seed-grid + damped-Newton optimiser on its t0 block; the only
+    communication is the result all-gather.  x64/complex work, so this
+    targets CPU meshes (and future TPU generations with native f64) --
+    the split-complex TPU sweeps are the batched.* surfaces."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from .parallel.mesh import _pad_to
+
+    ev, one = _free_freq_sweep_parts(modes, t0_method, maxiter)
+    n_sweep = mesh.shape["sweep"]
+    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
+    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
+    fixed = np.asarray(ev.omega(chif, Mf)) if ev is not None \
+        else np.zeros((0,), complex)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("sweep"), P("sweep"), P()),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, data_, fixed_, t0_loc, T_loc, x0_):
+        return jax.vmap(one, in_axes=(None, None, None, 0, 0, None))(
+            times_, data_, fixed_, t0_loc, T_loc, x0_)
+
+    x, mm, ok = jax.jit(run)(np.asarray(times, float),
+                             np.asarray(data, complex),
+                             fixed, t0s_p, Ts_p, np.asarray(x0, float))
+    return x[:B], mm[:B], ok[:B]
+
+
 def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
                              chif=None, t0_method="geq", T_array=100,
                              x0=(1.0, -0.5), maxiter=30,
-                             return_mismatch=False):
+                             return_mismatch=False, mesh=None):
     """Free complex-frequency fit at EVERY start time in one program.
 
     The in-jit equivalent of looping free_frequency_fit over t0_array
@@ -281,24 +329,36 @@ def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
 
     Returns omega_bestfit (B,) complex; with return_mismatch=True also
     the (B,) mismatch at the optimum and the (B,) success mask.
+
+    With ``mesh=`` (a ``parallel.mesh.sweep_mesh``) the t0 axis is
+    sharded over the mesh's 'sweep' devices -- pure DP, identical
+    per-window computation, one result all-gather.
     """
     if modes and (Mf is None or chif is None):
         raise ValueError(
             "free_frequency_fit with fixed QNM modes requires Mf and chif")
     from .engine import check_spin
     check_spin(chif)
-    fn = _free_freq_sweep_fn(_canon(modes), t0_method, int(maxiter))
     t0s = np.asarray(t0_array, float)
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
-    dev = _device_for("x64")
-    args = [jax.device_put(np.asarray(a), dev)
-            for a in (np.asarray(times, float),
-                      np.asarray(data, complex)[None, :],
-                      1.0 if Mf is None else float(Mf),
-                      0.0 if chif is None else float(chif),
-                      t0s, Ts, np.asarray(x0, float))]
-    x, mm, ok = fn(*args)
+    if mesh is not None:
+        x, mm, ok = _free_freq_sweep_sharded(
+            _canon(modes), t0_method, int(maxiter), mesh,
+            times, np.asarray(data, complex)[None, :],
+            1.0 if Mf is None else float(Mf),
+            0.0 if chif is None else float(chif), t0s, Ts,
+            np.asarray(x0, float))
+    else:
+        fn = _free_freq_sweep_fn(_canon(modes), t0_method, int(maxiter))
+        dev = _device_for("x64")
+        args = [jax.device_put(np.asarray(a), dev)
+                for a in (np.asarray(times, float),
+                          np.asarray(data, complex)[None, :],
+                          1.0 if Mf is None else float(Mf),
+                          0.0 if chif is None else float(chif),
+                          t0s, Ts, np.asarray(x0, float))]
+        x, mm, ok = fn(*args)
     x = np.asarray(x)
     omega = x[:, 0] + 1j * x[:, 1]
     if return_mismatch:
@@ -307,7 +367,9 @@ def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
 
 
 @lru_cache(maxsize=64)
-def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
+def _epsilon_sweep_parts(modes, sph, t0_method, maxiter):
+    """(one,): the per-window tiered-seed remnant optimiser (shared by
+    the vmapped program and the mesh-sharded runner)."""
     ev = SpectrumEvaluator(list(modes), list(sph) if sph else None)
 
     # Local seed offsets around the caller's x0 (the true remnant, as
@@ -382,6 +444,13 @@ def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
         ok = jnp.linalg.norm(jax.grad(mm_fn)(x)) < 1e-7
         return x, fx, ok
 
+    return one
+
+
+@lru_cache(maxsize=64)
+def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
+    one = _epsilon_sweep_parts(modes, sph, t0_method, maxiter)
+
     def run(times, data, t0s, Ts, delta_factor, x0):
         return jax.vmap(one, in_axes=(None, None, 0, 0, None, None))(
             times, data, t0s, Ts, delta_factor, x0)
@@ -389,10 +458,39 @@ def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
     return jax.jit(run)
 
 
+def _epsilon_sweep_sharded(modes, sph, t0_method, maxiter, mesh,
+                           times, rows, t0s, Ts, df, x0):
+    """Mesh-sharded epsilon sweep: start times DP over 'sweep' (the
+    same layout as _free_freq_sweep_sharded; x64 work, CPU meshes)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from .parallel.mesh import _pad_to
+
+    one = _epsilon_sweep_parts(modes, sph, t0_method, maxiter)
+    n_sweep = mesh.shape["sweep"]
+    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
+    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("sweep"), P("sweep"), P(), P()),
+        out_specs=(P("sweep"), P("sweep"), P("sweep")),
+    )
+    def run(times_, data_, t0_loc, T_loc, df_, x0_):
+        return jax.vmap(one, in_axes=(None, None, 0, 0, None, None))(
+            times_, data_, t0_loc, T_loc, df_, x0_)
+
+    x, mm, ok = jax.jit(run)(np.asarray(times, float),
+                             np.asarray(rows, complex), t0s_p, Ts_p,
+                             np.asarray(df), np.asarray(x0, float))
+    return x[:B], mm[:B], ok[:B]
+
+
 def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
                             t0_method="geq", T_array=100,
                             spherical_modes=None, delta=0.0, x0=None,
-                            maxiter=30, return_remnant=True):
+                            maxiter=30, return_remnant=True, mesh=None):
     """Remnant recovery (epsilon) at EVERY start time in one program.
 
     The in-jit (seed patch + damped Newton, vmapped) equivalent of
@@ -411,6 +509,10 @@ def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
     qnmfits.py:1519-1537) even when a wrong-remnant ridge out-scores
     the true basin at coarse resolution; a good x0 is unaffected (its
     polished fit wins the final comparison).
+
+    With ``mesh=`` (a ``parallel.mesh.sweep_mesh``) the t0 axis is
+    sharded over the mesh's 'sweep' devices -- pure DP, identical
+    per-window computation, one result all-gather.
     """
     from .ref_impl import _delta_factor
     from .engine import check_spin
@@ -425,18 +527,24 @@ def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
         rows = np.asarray(data)[None, :]
         sph = None
 
-    fn = _epsilon_sweep_fn(_canon(modes), sph, t0_method, int(maxiter))
     df = np.asarray(_delta_factor(0.0 if sph is not None else delta,
                                   len(modes)))
     t0s = np.asarray(t0_array, float)
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
-    dev = _device_for("x64")
-    args = [jax.device_put(np.asarray(a), dev)
-            for a in (np.asarray(times, float), rows, t0s, Ts, df,
-                      np.asarray(x0 if x0 is not None else [Mf, chif],
-                                 float))]
-    x, mm, ok = fn(*args)
+    x0_v = np.asarray(x0 if x0 is not None else [Mf, chif], float)
+    if mesh is not None:
+        x, mm, ok = _epsilon_sweep_sharded(
+            _canon(modes), sph, t0_method, int(maxiter), mesh,
+            times, rows, t0s, Ts, df, x0_v)
+    else:
+        fn = _epsilon_sweep_fn(_canon(modes), sph, t0_method,
+                               int(maxiter))
+        dev = _device_for("x64")
+        args = [jax.device_put(np.asarray(a), dev)
+                for a in (np.asarray(times, float), rows, t0s, Ts, df,
+                          x0_v)]
+        x, mm, ok = fn(*args)
     x = np.asarray(x)
     eps = np.sqrt((x[:, 0] - Mf) ** 2 + (x[:, 1] - chif) ** 2)
     if return_remnant:

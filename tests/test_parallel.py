@@ -485,3 +485,74 @@ def test_public_modesets_dynamic_mesh_matches_unsharded(cpu_devices):
     for a, b in zip(C_m, C_1):
         assert a.shape == b.shape              # ragged sets trimmed alike
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+
+def test_sharded_free_frequency_sweep_matches_unsharded(cpu_devices):
+    """free_frequency_fit_array(mesh=...) == mesh=None: the in-jit
+    optimiser sweep is pure DP over t0 (VERDICT r4 item 3)."""
+    from qnmfits_tpu.optimize import free_frequency_fit_array
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=0.0, seed=7)
+    t0s = np.linspace(0.0, 18.0, 10)          # 10 % 8 != 0: pad+trim
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    w_m, mm_m, ok_m = free_frequency_fit_array(
+        syn["times"], syn["data"], t0s, mesh=mesh, return_mismatch=True)
+    w_1, mm_1, ok_1 = free_frequency_fit_array(
+        syn["times"], syn["data"], t0s, return_mismatch=True)
+    np.testing.assert_allclose(w_m, w_1, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(mm_m, mm_1, rtol=0, atol=1e-14)
+    np.testing.assert_array_equal(ok_m, ok_1)
+
+
+def test_sharded_free_frequency_sweep_fixed_modes(cpu_devices):
+    """Same with fixed QNM modes (the bordered seed stage runs under
+    shard_map) on a 2D mesh: 'sweep' shards, 'time' replicates."""
+    from qnmfits_tpu.optimize import free_frequency_fit_array
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=0.0, seed=7)
+    kw = dict(modes=[(2, 2, 0, 1)], Mf=syn["Mf"], chif=syn["chif"])
+    t0s = np.linspace(0.0, 10.0, 5)
+    mesh = sweep_mesh(n_sweep=4, n_time=2, devices=cpu_devices)
+    w_m = free_frequency_fit_array(syn["times"], syn["data"], t0s,
+                                   mesh=mesh, **kw)
+    w_1 = free_frequency_fit_array(syn["times"], syn["data"], t0s, **kw)
+    np.testing.assert_allclose(w_m, w_1, rtol=0, atol=1e-12)
+
+
+def test_sharded_epsilon_sweep_matches_unsharded(cpu_devices):
+    """calculate_epsilon_array(mesh=...) == mesh=None (both the array
+    and dict data routes)."""
+    from qnmfits_tpu.optimize import calculate_epsilon_array
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_multimode, synthetic_single
+
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=0.0, seed=5)
+    t0s = np.linspace(0.0, 12.0, 10)          # 10 % 8 != 0: pad+trim
+    out_m = calculate_epsilon_array(syn["times"], syn["data"],
+                                    syn["modes"], syn["Mf"], syn["chif"],
+                                    t0s, maxiter=12, mesh=mesh)
+    out_1 = calculate_epsilon_array(syn["times"], syn["data"],
+                                    syn["modes"], syn["Mf"], syn["chif"],
+                                    t0s, maxiter=12)
+    for a, b in zip(out_m, out_1):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+    mm = synthetic_multimode(seed=3)
+    t0s2 = np.linspace(0.0, 8.0, 4)
+    out_md = calculate_epsilon_array(
+        mm["times"], mm["data_dict"], mm["modes"], mm["Mf"], mm["chif"],
+        t0s2, spherical_modes=mm["spherical_modes"], maxiter=10,
+        mesh=mesh)
+    out_1d = calculate_epsilon_array(
+        mm["times"], mm["data_dict"], mm["modes"], mm["Mf"], mm["chif"],
+        t0s2, spherical_modes=mm["spherical_modes"], maxiter=10)
+    for a, b in zip(out_md, out_1d):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
