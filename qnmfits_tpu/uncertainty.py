@@ -38,17 +38,84 @@ __all__ = ["amplitude_uncertainty", "mode_selection"]
 
 
 def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
-                   spherical_modes):
+                   spherical_modes, mapping_modes=None):
     """(a, d, omega): the EXACT lstsq system one fit solves.
 
     Shared by `amplitude_uncertainty` and `mode_selection` so every
     statistic quantifies the shipped fit (reference design matrix
     qnmfits.py:280-283 single-mode, :628-631 multimode stacking).
+
+    Covers every fit family of the package:
+    * static (scalar Mf/chif) single- and multimode fits;
+    * DYNAMIC fits (array Mf(t)/chif(t), the same routing convention
+      as the fits themselves): time-dependent design entries
+      mu(t_k) exp(-i omega(t_k)(t_k - t0)) (reference
+      qnmfits.py:438-444, 863-864) -- `omega` is then the (Km, J)
+      frequency track over the masked window;
+    * MAPPING fits (``mapping_modes=``): the identity-block design of
+      mapping_multimode_ringdown_fit via spatial_engine.mapping_design
+      (reference spatial_mapping_functions.py:212-248) -- `omega` is
+      (J,) over the expanded column list.
     """
     from .batched import _canon, _prep
     from .engine import SpectrumEvaluator, _window, check_spin
 
     times, rows, sph = _prep(times, data, spherical_modes)
+    dynamic = np.ndim(Mf) > 0 or np.ndim(chif) > 0
+
+    mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
+                              t0_method)).astype(bool)
+    if not np.any(mask):
+        raise ValueError("empty fit window (check t0/T)")
+    tm = np.asarray(times)[mask]
+    d = rows[:, mask].reshape(-1)
+
+    if mapping_modes is not None:
+        if dynamic:
+            raise ValueError(
+                "mapping fits take a static (scalar) remnant")
+        if sph is None:
+            raise ValueError(
+                "mapping fits need dict data over spherical modes")
+        check_spin(chif)
+        from .spatial_engine import mapping_design
+
+        _, omega, mu = mapping_design(
+            list(sph), list(_canon(modes)),
+            [tuple(m) for m in mapping_modes], float(chif), float(Mf))
+        omega = np.asarray(omega)
+        mu = np.asarray(mu)
+        J = omega.shape[0]
+        phi = np.exp(-1j * omega[None, :] * (tm - float(t0))[:, None])
+        a = (mu[:, None, :] * phi[None, :, :]).reshape(-1, J)
+        return a, d, omega
+
+    if dynamic:
+        from .ref_impl import get_qnm
+
+        K = np.asarray(times).shape[0]
+        Mf_t = np.asarray(Mf)[mask] if np.ndim(Mf) \
+            else np.full(len(tm), float(Mf))
+        chif_t = np.asarray(chif)[mask] if np.ndim(chif) \
+            else np.full(len(tm), float(chif))
+        if np.ndim(Mf) and np.asarray(Mf).shape[0] != K:
+            raise ValueError("Mf track length != times length")
+        if np.ndim(chif) and np.asarray(chif).shape[0] != K:
+            raise ValueError("chif track length != times length")
+        q = get_qnm()
+        canon = list(_canon(modes))
+        omega = np.array(q.omega_list(canon, chif_t, Mf_t)).T  # (Km, J)
+        J = omega.shape[1]
+        decay = np.exp(-1j * omega * (tm[:, None] - float(t0)))
+        if sph is None:
+            a = decay
+        else:
+            mu_blocks = [np.array(q.mu_list(
+                [tuple(lm) + m for m in canon], chif_t)).T
+                for lm in sph]                               # (Km, J)
+            a = np.concatenate([mu * decay for mu in mu_blocks])
+        return a, d, omega
+
     check_spin(chif)
     ev = SpectrumEvaluator(list(_canon(modes)),
                            list(sph) if sph else None)
@@ -61,25 +128,23 @@ def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
             f"data has {rows.shape[0]} spherical-mode rows but the "
             f"mixing matrix expects {mu.shape[0]}")
 
-    mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
-                              t0_method)).astype(bool)
-    if not np.any(mask):
-        raise ValueError("empty fit window (check t0/T)")
-    tm = np.asarray(times)[mask]
-
     phi = np.exp(-1j * omega[None, :] * (tm - float(t0))[:, None])
     a = (mu[:, None, :] * phi[None, :, :]).reshape(-1, J)   # (I*Km, J)
-    d = rows[:, mask].reshape(-1)
     return a, d, omega
 
 
 def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
                           t0_method="geq", T=100, spherical_modes=None,
-                          sigma=None):
+                          sigma=None, mapping_modes=None):
     """Covariance of the least-squares QNM amplitudes of one fit.
 
     Arguments mirror `ringdown_fit` (array data) /
-    `multimode_ringdown_fit` (dict data).  `sigma`, if given, is the
+    `multimode_ringdown_fit` (dict data); array Mf/chif route the
+    DYNAMIC design (mirroring `dynamic_*_ringdown_fit` -- `omega` in
+    the result is then the (Km, J) frequency track), and
+    ``mapping_modes=`` routes the mapping-fit design (mirroring
+    `mapping_multimode_ringdown_fit`; the identity-block columns get
+    their own sigma_C per spherical mode).  `sigma`, if given, is the
     KNOWN per-sample complex noise standard deviation (E|n_k|^2 =
     sigma^2); otherwise it is estimated from the fit residual.
 
@@ -98,8 +163,9 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
       dof        n_obs - J residual degrees of freedom.
     """
     a, d, omega = _masked_design(times, data, modes, Mf, chif, t0,
-                                 t0_method, T, spherical_modes)
-    J = omega.shape[0]
+                                 t0_method, T, spherical_modes,
+                                 mapping_modes=mapping_modes)
+    J = a.shape[1]
 
     C, _, rank, _ = np.linalg.lstsq(a, d, rcond=None)
     if rank < J:
@@ -161,7 +227,7 @@ def amplitude_uncertainty(times, data, modes, Mf, chif, t0,
 
 
 def mode_selection(times, data, models, Mf, chif, t0, t0_method="geq",
-                   T=100, spherical_modes=None):
+                   T=100, spherical_modes=None, mapping_modes=None):
     """Rank candidate QNM mode sets on one window by AIC/BIC + F-tests.
 
     "How many overtones does the data actually support?" -- the
@@ -203,19 +269,21 @@ def mode_selection(times, data, models, Mf, chif, t0, t0_method="geq",
     rss, n_par, n_modes, n_obs = [], [], [], None
     for ci, modes in enumerate(models):
         a, d, omega = _masked_design(times, data, modes, Mf, chif, t0,
-                                     t0_method, T, spherical_modes)
+                                     t0_method, T, spherical_modes,
+                                     mapping_modes=mapping_modes)
+        J = a.shape[1]
         C, _, rank, _ = np.linalg.lstsq(a, d, rcond=None)
-        if rank < omega.shape[0]:
+        if rank < J:
             raise ValueError(
                 f"candidate {ci} is numerically degenerate on this "
-                f"window (design rank {rank} < {omega.shape[0]} modes); "
+                f"window (design rank {rank} < {J} modes); "
                 "its parameter count -- and every criterion built on "
                 "it -- would be fictitious.  Drop duplicated/degenerate "
                 "modes or widen the window")
         r = d - a @ C
         rss.append(float(np.real(np.vdot(r, r))))
-        n_modes.append(omega.shape[0])
-        n_par.append(2 * omega.shape[0] + 1)
+        n_modes.append(J)
+        n_par.append(2 * J + 1)
         # d is built from times/data/t0/T only, so the window is shared
         # across candidates by construction.
         n_obs = d.shape[0]

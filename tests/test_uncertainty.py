@@ -204,3 +204,146 @@ class TestModeSelection:
         with pytest.raises(ValueError, match="degenerate"):
             mode_selection(s["times"], s["data"], models, s["Mf"],
                            s["chif"], t0=0.0, T=100.0)
+
+
+class TestExtendedFitFamilies:
+    """VERDICT r4 item 9: the diagnostics span the dynamic-spectrum and
+    mapping fit families with the same routing conventions as the fits
+    (array Mf/chif -> dynamic; mapping_modes= -> mapping)."""
+
+    def test_dynamic_constant_tracks_match_static(self, syn):
+        K = len(syn["times"])
+        Mf_t = np.full(K, syn["Mf"])
+        chif_t = np.full(K, syn["chif"])
+        # Known sigma: on noiseless data the residual-estimated sigma2
+        # is rounding noise and differs between construction paths.
+        stat = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], t0=0.0, T=80.0, sigma=1e-3)
+        dyn = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t,
+            t0=0.0, T=80.0, sigma=1e-3)
+        np.testing.assert_allclose(dyn["C"], stat["C"], rtol=0,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.real(np.diag(dyn["cov"])),
+                                   np.real(np.diag(stat["cov"])),
+                                   rtol=1e-9)
+        # Dynamic omega is the (Km, J) track; constant tracks give
+        # constant rows equal to the static frequencies.
+        assert dyn["omega"].ndim == 2
+        np.testing.assert_allclose(dyn["omega"][0], stat["omega"],
+                                   rtol=0, atol=1e-12)
+
+    def test_dynamic_matches_shipped_fit(self, syn):
+        """C is the SAME lstsq solution dynamic_ringdown_fit ships, on
+        a genuinely varying remnant track."""
+        from qnmfits_tpu import dynamic_ringdown_fit
+
+        K = len(syn["times"])
+        Mf_t = syn["Mf"] * (1.0 + 0.02 * np.tanh(syn["times"] / 25.0))
+        chif_t = np.clip(
+            syn["chif"] * (1.0 - 0.03 * np.exp(-(syn["times"] + 10.0)
+                                               / 30.0)), 0.0, 0.99)
+        assert Mf_t.shape == (K,)
+        out = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t,
+            t0=0.0, T=80.0)
+        fit = dynamic_ringdown_fit(syn["times"], syn["data"],
+                                   syn["modes"], Mf_t, chif_t,
+                                   t0=0.0, T=80.0)
+        np.testing.assert_allclose(out["C"], fit["C"], rtol=0,
+                                   atol=1e-12)
+
+    def test_dynamic_covariance_monte_carlo(self, syn):
+        """The predicted covariance matches the empirical lstsq scatter
+        under the dynamic design (the verdict's required MC case)."""
+        from qnmfits_tpu.uncertainty import _masked_design
+
+        K = len(syn["times"])
+        Mf_t = syn["Mf"] * (1.0 + 0.02 * np.tanh(syn["times"] / 25.0))
+        chif_t = np.full(K, syn["chif"])
+        noise = 1e-3
+        sigma = noise * np.sqrt(2.0)
+        out = amplitude_uncertainty(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t,
+            t0=0.0, T=80.0, sigma=sigma)
+        a, d, _ = _masked_design(
+            syn["times"], syn["data"], syn["modes"], Mf_t, chif_t,
+            0.0, "geq", 80.0, None)
+        pinv = np.linalg.pinv(a)
+        rng = np.random.default_rng(11)
+        R = 600
+        n = noise * (rng.standard_normal((R, a.shape[0]))
+                     + 1j * rng.standard_normal((R, a.shape[0])))
+        dC = n @ pinv.T
+        emp = (dC.conj().T @ dC) / R
+        np.testing.assert_allclose(np.real(np.diag(emp)),
+                                   np.real(np.diag(out["cov"])),
+                                   rtol=0.2)
+
+    def test_mapping_matches_shipped_fit(self):
+        """C is the SAME lstsq solution the mapping fit ships; the
+        identity-block columns get per-spherical-mode error bars."""
+        from qnmfits_tpu import spatial
+        from qnmfits_tpu.ref_impl import get_qnm, ringdown
+
+        Mf, chif = 0.952, 0.692
+        times = np.arange(-10.0, 120.0, 0.1)
+        q = get_qnm()
+        spherical_modes = [(4, 4), (5, 4)]
+        lin_modes = [(4, 4, 0, 1)]
+        quad_mode = (2, 2, 0, 1, 2, 2, 0, 1)
+        rng = np.random.default_rng(3)
+        amps_lin = rng.standard_normal(1) + 1j * rng.standard_normal(1)
+        amp_quad = rng.standard_normal(2) + 1j * rng.standard_normal(2)
+        w_lin = np.array(q.omega_list(lin_modes, chif, Mf))
+        [w_quad] = q.omega_list([quad_mode], chif, Mf)
+        data = {}
+        for i, lm in enumerate(spherical_modes):
+            mu = np.array(q.mu_list([lm + m for m in lin_modes], chif))
+            h = ringdown(times, 0.0, mu * amps_lin, w_lin)
+            h = h + ringdown(times, 0.0, [amp_quad[i]], [w_quad])
+            data[lm] = h + 1e-5 * (rng.standard_normal(len(times))
+                                   + 1j * rng.standard_normal(len(times)))
+
+        modes = list(lin_modes) + [quad_mode]
+        out = amplitude_uncertainty(
+            times, data, modes, Mf, chif, t0=0.0, T=100,
+            spherical_modes=spherical_modes, mapping_modes=[quad_mode])
+        fit = spatial.mapping_multimode_ringdown_fit(
+            times, data, modes, Mf, chif, t0=0.0,
+            mapping_modes=[quad_mode], T=100,
+            spherical_modes=spherical_modes)
+        np.testing.assert_allclose(out["C"], fit["C"], rtol=0, atol=1e-10)
+        # One column per (mapped mode, spherical mode) pair + linear.
+        assert out["C"].shape[0] == len(lin_modes) \
+            + len(spherical_modes) * 1
+        assert np.all(out["snr"][:1] > 100)      # injected linear mode
+
+    def test_mode_selection_dynamic(self, syn):
+        from qnmfits_tpu import mode_selection
+
+        K = len(syn["times"])
+        Mf_t = syn["Mf"] * (1.0 + 0.02 * np.tanh(syn["times"] / 25.0))
+        chif_t = np.full(K, syn["chif"])
+        rng = np.random.default_rng(5)
+        noisy = syn["data"] + 2e-4 * (
+            rng.standard_normal(K) + 1j * rng.standard_normal(K))
+        models = [[(2, 2, n, 1) for n in range(j)] for j in (1, 2, 3, 4)]
+        out = mode_selection(syn["times"], noisy, models, Mf_t, chif_t,
+                             t0=0.0, T=80.0)
+        assert np.isfinite(out["bic"]).all()
+        assert out["n_modes"].tolist() == [1, 2, 3, 4]
+
+    def test_mapping_requires_dict_and_static(self, syn):
+        with pytest.raises(ValueError, match="dict data"):
+            amplitude_uncertainty(
+                syn["times"], syn["data"], syn["modes"], syn["Mf"],
+                syn["chif"], t0=0.0, T=80.0,
+                mapping_modes=[(2, 2, 0, 1, 2, 2, 0, 1)])
+        K = len(syn["times"])
+        with pytest.raises(ValueError, match="static"):
+            amplitude_uncertainty(
+                syn["times"], {(2, 2): syn["data"]}, syn["modes"],
+                np.full(K, syn["Mf"]), syn["chif"], t0=0.0, T=80.0,
+                mapping_modes=[(2, 2, 0, 1, 2, 2, 0, 1)])
