@@ -119,12 +119,22 @@ class NRHybSur3dq8(_SurrogateBase):
         if self.ellMax is None:
             self.ellMax = 4
 
+        # The surrogate models (2,2),(2,1),(2,0),(3,3),(3,2),(3,1),
+        # (3,0),(4,4),(4,3),(4,2),(5,5) -- NOT (4,1)/(4,0) (Varma et
+        # al. 2018 Table I).  The reference zero-fills only (4,0) and
+        # would KeyError on (4,-1) via the missing (4,1)
+        # (Surrogate.py:336-340); here EVERY absent positive-m mode is
+        # zero-filled and m<0 filled by the aligned-spin symmetry
+        # (PARITY.md known delta).
         for l in range(2, self.ellMax + 1):
             for m in range(-l, l + 1):
-                if l == 4 and m == 0:
-                    self.h[l, m] = np.zeros_like(self.times)
-                elif m < 0:
+                if (l, m) in self.h:
+                    continue
+                if m < 0 and (l, -m) in self.h:
                     self.h[l, m] = (-1) ** l * np.conjugate(self.h[l, -m])
+                else:
+                    self.h[l, m] = np.zeros_like(self.times,
+                                                 dtype=complex)
 
         surrem = surfinBH.LoadFits("NRSur3dq8Remnant")
         self.Mf, self.Mf_err = surrem.mf(q, self.chi1, self.chi2)
