@@ -43,6 +43,21 @@ def build_problem():
         return _build_problem_impl(SpectrumEvaluator, synthetic_multimode)
 
 
+def _mode_sets():
+    """The bench's 16 mode sets of varying width: overtone ladders,
+    mirror-augmented, (3,2)-augmented (shared with the parity check)."""
+    mode_sets = []
+    for nmax in range(1, 9):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)])
+    for nmax in range(1, 5):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
+                         + [(2, 2, 0, -1)])
+    for nmax in range(1, 5):
+        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
+                         + [(3, 2, 0, 1), (3, 2, 1, 1)])
+    return mode_sets
+
+
 def _build_problem_impl(SpectrumEvaluator, synthetic_multimode):
 
     Mf, chif = 0.952, 0.692
@@ -54,17 +69,8 @@ def _build_problem_impl(SpectrumEvaluator, synthetic_multimode):
         spherical_modes=spherical_modes,
         Mf=Mf, chif=chif, times=times, seed=11)
 
-    # Mode sets of varying size: overtone ladders, mirror-augmented,
-    # (3,2)-augmented.  Padded to a common J.
-    mode_sets = []
-    for nmax in range(1, 9):
-        mode_sets.append([(2, 2, n, 1) for n in range(nmax)])
-    for nmax in range(1, 5):
-        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
-                         + [(2, 2, 0, -1)])
-    for nmax in range(1, 5):
-        mode_sets.append([(2, 2, n, 1) for n in range(nmax)]
-                         + [(3, 2, 0, 1), (3, 2, 1, 1)])
+    # Mode sets of varying size, padded to a common J.
+    mode_sets = _mode_sets()
 
     J = max(len(ms) for ms in mode_sets)
     S = len(mode_sets)
@@ -168,21 +174,37 @@ def main():
     elapsed = min(reps)
     fits_per_sec = n_fits / elapsed
 
-    # Accuracy spot check against the NumPy lstsq reference at t0=2.5
-    # (in-ringdown; the full 1e-10 x64 parity gate is exercised in
-    # tests/test_batched.py).  Pre-ringdown windows (t0 < 0, mm ~ 6e-2)
-    # sit at their own conditioning floor (~1e-5 relative on any
-    # engine) and are not a kernel-precision probe.
+    # Sweep-wide stratified parity vs the NumPy lstsq oracle (VERDICT
+    # r4 item 4): EVERY mode-set width x a t0 strata covering
+    # pre-ringdown (t0 < 0) and in-ringdown early/mid/late windows.
+    # Pre-ringdown windows sit at their own conditioning floor (~1e-5
+    # relative on ANY engine -- the oracle itself moves that much under
+    # rounding perturbations), so the two regimes are reported
+    # separately; the in-ringdown figure is the kernel-precision probe
+    # (the full 1e-10 x64 parity gate is tests/test_batched.py).
     from qnmfits_tpu import ref_impl
-    i_spot = int(round((2.5 - t0s[0]) / (t0s[-1] - t0s[0])
-                       * (len(t0s) - 1)))
-    ref = ref_impl.multimode_ringdown_fit(
-        np.asarray(times, float),
-        {(2, 2): data[0].astype(complex), (3, 2): data[1].astype(complex)},
-        [(2, 2, n, 1) for n in range(8)], 0.952, 0.692,
-        t0=float(t0s[i_spot]), T=100.0,
-        spherical_modes=[(2, 2), (3, 2)])
-    dev_tpu = abs(float(mm_np[7, i_spot]) - ref["mismatch"])
+    data_dict = {(2, 2): data[0].astype(complex),
+                 (3, 2): data[1].astype(complex)}
+    mode_sets = _mode_sets()
+
+    def t0_index(t0_val):
+        return int(round((t0_val - t0s[0]) / (t0s[-1] - t0s[0])
+                         * (len(t0s) - 1)))
+
+    strata = [-5.0, -1.0, 0.5, 2.5, 10.0, 25.0, 40.0]
+    dev_in, dev_pre = 0.0, 0.0
+    for si, ms in enumerate(mode_sets):
+        for t0_val in strata:
+            i_spot = t0_index(t0_val)
+            ref = ref_impl.multimode_ringdown_fit(
+                np.asarray(times, float), data_dict, ms, 0.952, 0.692,
+                t0=float(t0s[i_spot]), T=100.0,
+                spherical_modes=[(2, 2), (3, 2)])
+            d = abs(float(mm_np[si, i_spot]) - ref["mismatch"])
+            if t0_val >= 0.0:
+                dev_in = max(dev_in, d)
+            else:
+                dev_pre = max(dev_pre, d)
 
     print(json.dumps({
         "metric": "multimode_fits_per_sec",
@@ -198,9 +220,17 @@ def main():
         # fell back because the TPU tunnel was unreachable -- an honest
         # lower number, not a kernel regression.
         "device": dev.platform,
+        # Stratified sweep-wide parity vs the NumPy oracle: max |mm -
+        # oracle| over every mode-set width x {pre-ringdown,
+        # in-ringdown early/mid/late} windows.  The in-ringdown figure
+        # probes kernel precision; pre-ringdown windows sit at their
+        # own conditioning floor on any engine (PERF.md section 3).
+        "parity_inringdown_max": float(f"{dev_in:.3e}"),
+        "parity_prering_max": float(f"{dev_pre:.3e}"),
     }))
     print(f"# device={dev} n_fits={n_fits} elapsed={elapsed*1e3:.1f} ms "
-          f"tpu-vs-ref mismatch deviation={dev_tpu:.2e}", file=sys.stderr)
+          f"parity in-ringdown={dev_in:.2e} pre-ringdown={dev_pre:.2e}",
+          file=sys.stderr)
 
 
 def supervise():
