@@ -98,7 +98,7 @@ def _build_problem_impl(SpectrumEvaluator, synthetic_multimode):
 
 def main():
     import jax
-    from qnmfits_tpu.engine_real import sweep_t0_modesets_factored_real
+    from qnmfits_tpu import batched
 
     times, data, omegas, mus, masks, t0s, Ts, syn = build_problem()
     S, B = omegas.shape[0], t0s.shape[0]
@@ -106,70 +106,45 @@ def main():
 
     dev = jax.devices()[0]
 
-    # Split-complex float64 inputs: the axon backend lacks
-    # complex-construction lowerings (see engine_real), and deep overtone
-    # ladders have kappa(A)^2 beyond f32, so the TPU sweep runs all-real
-    # f64 (fully supported on this backend).
-    f64 = np.float64
-    dre, dim_ = data.real.astype(f64), data.imag.astype(f64)
-    wrs, wis = omegas.real.astype(f64), omegas.imag.astype(f64)
-    mres, mims = mus.real.astype(f64), mus.imag.astype(f64)
-    times64 = times.astype(f64)
-    t0s64, Ts64 = t0s.astype(f64), Ts.astype(f64)
+    # The measured surface is the PUBLIC mode-set sweep
+    # (batched.batch_mismatch_t0_modesets == qf.mismatch_t0_mode_sets):
+    # host-side spectrum evaluation, window dedup (PERF.md section 25
+    # -- this t0 grid is 16x finer than the 0.1M sampling, so only the
+    # ~512+1 distinct windows hit the device kernel and the results
+    # scatter back exactly), the factored split-complex analytic-Gram
+    # TPU kernel (chunked via batched._safe_chunk), and the host
+    # gather.  All-real f64 throughout: the axon backend lacks complex
+    # lowerings and deep overtone ladders have kappa(A)^2 beyond f32.
+    mode_sets = _mode_sets()
+    data_dict = {(2, 2): data[0].astype(complex),
+                 (3, 2): data[1].astype(complex)}
+    spherical_modes = [(2, 2), (3, 2)]
+    dd = batched._window_dedup(times, t0s, Ts)
+    n_windows = len(dd[0]) if dd is not None else len(t0s)
 
-    # Mode sets are vmapped (not serialized); chunk via the overflow-safe
-    # rule in batched._safe_chunk -- the phi0-basis amplitude factor
-    # e^{|Im w| * chunk-span} must stay inside the float32 exponent range
-    # of the TPU's double-single f64 (here chunk=512 -> span 12.8M,
-    # |Im w|*span ~ 18, comfortably safe; deviation vs the x64 oracle is
-    # checked below).
-    from qnmfits_tpu.batched import _safe_chunk, _uniform_spacing
-    chunk = _safe_chunk(t0s64, float(np.max(np.abs(wis))), 512)
-    # Uniform time grid -> closed-form geometric-series Grams (the
-    # analytic kernel, PERF.md section 18) instead of the
-    # (Bc,K)@(K,J^2) Gram matmuls.
-    analytic = _uniform_spacing(times64)
-    args = [jax.device_put(x, dev)
-            for x in (times64, dre, dim_, wrs, wis, mres, mims,
-                      t0s64, Ts64, masks)]
+    def run(dedup=True):
+        return batched.batch_mismatch_t0_modesets(
+            times, data_dict, mode_sets, 0.952, 0.692, t0s,
+            T_array=100.0, spherical_modes=spherical_modes, chunk=512,
+            dedup=dedup)
 
-    def build(an):
-        return jax.jit(lambda *a: sweep_t0_modesets_factored_real(
-            *a, chunk=chunk, analytic=an))
-
-    fn = build(analytic)
+    gram_kernel = "analytic" if batched._uniform_spacing(times) \
+        else "summation"
     try:
-        Cre, Cim, mm = fn(*args)
-        jax.block_until_ready(mm)      # warmup / compile
+        mm_np = run()                  # warmup / compile
     except Exception as e:             # pragma: no cover - backend gap
-        # Never lose the benchmark to a backend lowering gap in the
-        # analytic path: retry once (transient tunnel stalls are
-        # common on this backend and must not silently demote the
-        # kernel), then fall back to the summation kernel.  The JSON
-        # line records which kernel ran (gram_kernel).
-        if not analytic:
-            raise
-        print(f"# analytic kernel warmup failed ({e!r}); retrying once",
+        # Never lose the benchmark to a transient tunnel stall: retry
+        # once (the supervised parent additionally falls back to a CPU
+        # run on a hard hang -- the JSON records which device ran).
+        print(f"# sweep warmup failed ({e!r}); retrying once",
               file=sys.stderr)
-        try:
-            Cre, Cim, mm = fn(*args)
-            jax.block_until_ready(mm)
-        except Exception as e2:
-            print(f"# analytic kernel failed again ({e2!r}); "
-                  "falling back to summation Grams", file=sys.stderr)
-            analytic = False
-            fn = build(False)
-            Cre, Cim, mm = fn(*args)
-            jax.block_until_ready(mm)
+        mm_np = run()
 
     n_rep = 5
     reps = []
     for _ in range(n_rep):
         t_start = time.perf_counter()
-        Cre, Cim, mm = fn(*args)
-        # Fetch to host: on the tunneled backend block_until_ready alone
-        # does not force execution.
-        mm_np = np.asarray(mm)
+        mm_np = run()                  # host numpy out: forces execution
         reps.append(time.perf_counter() - t_start)
     elapsed = min(reps)
     fits_per_sec = n_fits / elapsed
@@ -183,9 +158,6 @@ def main():
     # separately; the in-ringdown figure is the kernel-precision probe
     # (the full 1e-10 x64 parity gate is tests/test_batched.py).
     from qnmfits_tpu import ref_impl
-    data_dict = {(2, 2): data[0].astype(complex),
-                 (3, 2): data[1].astype(complex)}
-    mode_sets = _mode_sets()
 
     def t0_index(t0_val):
         return int(round((t0_val - t0s[0]) / (t0s[-1] - t0s[0])
@@ -215,7 +187,12 @@ def main():
         # to the summation kernel (backend lowering gap or transient
         # device failure during warmup) would otherwise read as a
         # silent ~2x perf regression attributed to the code.
-        "gram_kernel": "analytic" if analytic else "summation",
+        "gram_kernel": gram_kernel,
+        # Window dedup (PERF.md section 25): the t0 grid is 16x finer
+        # than the sampling, so the device kernel sweeps only the
+        # distinct windows and results scatter back exactly.
+        "dedup": dd is not None,
+        "distinct_windows": int(n_windows),
         # Which device actually ran: "cpu" here means the supervisor
         # fell back because the TPU tunnel was unreachable -- an honest
         # lower number, not a kernel regression.

@@ -191,9 +191,15 @@ def _single_row(rows, fn_name):
 
 def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
                       t0_method="geq", T_array=100, spherical_modes=None,
-                      delta=0.0, precision="x64", return_amplitudes=False):
+                      delta=0.0, precision="x64", return_amplitudes=False,
+                      dedup=True):
     """All start times in one vmapped solve
-    (replaces reference qnmfits.py:1183-1301 loop)."""
+    (replaces reference qnmfits.py:1183-1301 loop).
+
+    dedup=True (default) solves each distinct window once on t0 grids
+    finer than the data sampling -- exact for static spectra
+    (_window_dedup; PERF.md section 25); dynamic fits never dedup.
+    """
     times, rows, sph = _prep(times, data, spherical_modes)
     t0s = np.asarray(t0_array, float)
     Ts = np.broadcast_to(np.asarray(T_array, float), t0s.shape)
@@ -209,11 +215,32 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
             precision=precision, return_amplitudes=return_amplitudes)
     from .engine import check_spin
     check_spin(chif)
+    # The f32 path windows in f32 on device; host-f64 keys only match
+    # the x64 kernel exactly.
+    dd = None
+    if dedup and precision == "x64":
+        dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
+              else _window_dedup_closest(times, t0s, Ts))
+    if dd is not None:
+        rep, inverse = dd
+        t0s_full = t0s
+        t0s, Ts = t0s[rep], np.asarray(Ts)[rep]
     fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
     C, mm = fn(*_put((times, rows, float(Mf), float(chif), t0s,
                       np.ascontiguousarray(Ts), df), precision))
     mm = np.asarray(mm)
+    if dd is not None:
+        mm = mm[inverse]
+        if return_amplitudes:
+            ev = SpectrumEvaluator(list(_canon(modes)),
+                                   list(sph) if sph else None)
+            with _on_host():
+                omega = np.asarray(ev.omega(float(chif), float(Mf), df))
+            C = np.asarray(C)[inverse]
+            delta_b = t0s_full - t0s_full[rep][inverse]
+            Cre, Cim = _dedup_rephase(C.real, C.imag, omega, delta_b)
+            C = Cre + 1j * Cim
     return (mm, np.asarray(C)) if return_amplitudes else mm
 
 
@@ -411,6 +438,83 @@ def _uniform_spacing(times):
     return bool(np.max(np.abs(t - ideal)) <= tol)
 
 
+def _window_dedup(times, t0s, Ts):
+    """Unique-window compression of a static-spectrum 'geq' t0 sweep.
+
+    Two start times whose windows hold the SAME samples pose the SAME
+    least-squares problem up to an invertible per-column rescale of the
+    design (phi_j(t; t0') = phi_j(t; t0) e^{-i w_j (t0' - t0)}): the
+    fitted subspace, residual and mismatch are identical, and the
+    amplitudes differ by exactly that factor.  On a t0 grid finer than
+    the data sampling (e.g. the reference tutorial's dense sweeps,
+    qnmfits.py:1183-1301 run per-t0 regardless), most fits are such
+    duplicates -- solving each distinct window ONCE and rephasing is
+    exact, not an approximation.
+
+    Keys are (first in-window index, first past-end index) computed with
+    the kernels' own comparisons (times >= t0, times < t0 + T).  Returns
+    (rep, inverse) index arrays with t0s[rep] the first start time of
+    each distinct window (so every rephase delta = t0 - t0_rep is >= 0
+    and the magnitude factor e^{Im w * delta} <= 1), or None when every
+    window is distinct (the wrapper is then a no-op).
+
+    Boundary note: a sample sitting within ~1 ulp of t0 + T is a
+    knife-edge in ANY engine (host f64 vs on-device double-single
+    rounding of the same comparison) -- dedup introduces no new failure
+    class there, it groups by the host-f64 edge like the NumPy oracle.
+
+    NOT valid for dynamic (time-tracked) spectra: there t0 enters the
+    design per-ROW (exp(-i w(t_k)(t_k - t0))), which is not a column
+    rescale -- the dynamic sweeps never route here.
+    """
+    t = np.asarray(times, float)
+    t0v = np.asarray(t0s, float)
+    a_w = np.searchsorted(t, t0v, side="left")         # first t >= t0
+    e_w = np.searchsorted(t, t0v + np.asarray(Ts, float), side="left")
+    keys = a_w * (len(t) + 1) + e_w
+    uniq, rep, inverse = np.unique(keys, return_index=True,
+                                   return_inverse=True)
+    if len(uniq) == len(t0v):
+        return None
+    return rep, inverse
+
+
+def _window_dedup_closest(times, t0s, Ts):
+    """_window_dedup for t0_method='closest' windows [k0, k1) with
+    k0/k1 the argmin-closest sample indices (ops.windows.window_closest;
+    reference qnmfits.py:240-243, first index wins ties)."""
+    t = np.asarray(times, float)
+
+    def closest(v):
+        k = np.clip(np.searchsorted(t, v), 1, len(t) - 1)
+        left_closer = (v - t[k - 1]) <= (t[k] - v)     # tie -> earlier
+        return np.where(left_closer, k - 1, k)
+
+    t0v = np.asarray(t0s, float)
+    keys = closest(t0v) * (len(t) + 1) \
+        + closest(t0v + np.asarray(Ts, float))
+    uniq, rep, inverse = np.unique(keys, return_index=True,
+                                   return_inverse=True)
+    if len(uniq) == len(t0v):
+        return None
+    return rep, inverse
+
+
+def _dedup_rephase(Cre, Cim, omegas, delta):
+    """Amplitude rephase from the representative start time to each
+    duplicate: C(t0) = C(t0_rep) * exp(-i w (t0 - t0_rep)), the same
+    anchoring convention as the factored kernel's epilogue
+    (engine_real._chunk_sweep_factored).  Cre/Cim (..., B, J) gathered
+    to the full sweep already; omegas (..., J) per set row; delta (B,)
+    = t0 - t0_rep >= 0.  Host-side numpy (tiny next to the sweep)."""
+    wr = omegas.real[..., None, :]                     # (..., 1, J)
+    wi = omegas.imag[..., None, :]
+    d = delta[:, None]                                 # (B, 1)
+    g = np.exp(wi * d)
+    c, s = np.cos(wr * d), np.sin(wr * d)
+    return (g * (Cre * c + Cim * s), g * (Cim * c - Cre * s))
+
+
 @lru_cache(maxsize=64)
 def _t0_sweep_fast_fn(chunk, analytic=False):
     # The spectrum is evaluated host-side (complex splines must never
@@ -449,22 +553,38 @@ def _prep_fast(times, data, modes, Mf, chif, t0_array, T_array,
 
 def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
                            T_array=100, spherical_modes=None, delta=0.0,
-                           return_amplitudes=False, chunk=128):
+                           return_amplitudes=False, chunk=128,
+                           dedup=True):
     """TPU-speed start-time sweep on the factored split-complex kernel
     (t0_method='geq'; ~76k multimode fits/s per v5e chip at f64
     accuracy).  t0_array must be sorted ascending.
 
     Identical results to batch_mismatch_t0 (tested to 1e-11); use this
-    for large sweeps.
+    for large sweeps.  dedup=True (default) solves each distinct window
+    once on t0 grids finer than the data sampling -- exact for the
+    static spectrum here (_window_dedup; PERF.md section 25).
     """
     times, rows, omega, mu, t0s, Ts, chunk = _prep_fast(
         times, data, modes, Mf, chif, t0_array, T_array, spherical_modes,
         delta, chunk)
+    dd = _window_dedup(times, t0s, Ts) if dedup else None
+    if dd is not None:
+        rep, inverse = dd
+        t0s_full = t0s
+        t0s, Ts = t0s[rep], Ts[rep]
+        chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
     fn = _t0_sweep_fast_fn(chunk, _uniform_spacing(times))
     Cre, Cim, mm = fn(times, rows.real.copy(), rows.imag.copy(),
                       omega.real.copy(), omega.imag.copy(),
                       mu.real.copy(), mu.imag.copy(), t0s, Ts)
     mm = np.asarray(mm)
+    if dd is not None:
+        mm = mm[inverse]
+        if return_amplitudes:
+            delta_b = t0s_full - t0s_full[rep][inverse]
+            Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
+                                      np.asarray(Cim)[inverse],
+                                      omega, delta_b)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm
@@ -724,7 +844,8 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
                                T_array=100, spherical_modes=None,
                                return_amplitudes=False, chunk=256,
                                mesh=None, t0_method="geq",
-                               precision="x64", bucket=False):
+                               precision="x64", bucket=False,
+                               dedup=True):
     """The t0 x mode-set sweep: every (mode set, start time) pair in ONE
     jitted TPU program on the factored split-complex kernel (the
     single-chip benchmark surface; reference equivalent is a doubly
@@ -756,6 +877,11 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
     measured NEUTRAL on the tunneled v5e (the sweep is not FLOP-bound
     at these shapes and each width class pays its own one-time program
     load; PERF.md section 12), so it stays opt-in.
+
+    dedup=True (default) solves each DISTINCT window once when the t0
+    grid is finer than the data sampling and scatters the results --
+    exact for static spectra (see _window_dedup; PERF.md section 25);
+    dedup=False forces the per-t0 kernel.
     """
     if t0_method not in ("geq", "closest"):
         raise ValueError("t0_method must be 'geq' or 'closest'")
@@ -798,6 +924,18 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         omegas = omegas.reshape(R * S, omegas.shape[-1])
         mus = mus.reshape((R * S,) + mus.shape[-2:])
     masks_run = masks if scalar_remnant else np.tile(masks, (R, 1))
+
+    # Unique-window compression: exact for the static spectra used here
+    # (see _window_dedup).  The 'closest' branch is host-f64 end to end
+    # only at precision='x64', so the f32 path keeps the per-t0 kernel.
+    dd = None
+    if dedup and (t0_method == "geq" or precision == "x64"):
+        dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
+              else _window_dedup_closest(times, t0s, Ts))
+    if dd is not None:
+        rep, inverse = dd
+        t0s_full = t0s
+        t0s, Ts = t0s[rep], Ts[rep]
 
     if t0_method == "closest":
         if mesh is not None:
@@ -864,6 +1002,13 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         else:
             Cre, Cim, mm = run_group(omegas, mus, masks_run)
     mm = np.asarray(mm)
+    if dd is not None:
+        mm = mm[..., inverse]
+        if return_amplitudes:
+            Cre = np.asarray(Cre)[..., inverse, :]
+            Cim = np.asarray(Cim)[..., inverse, :]
+            delta = t0s_full - t0s_full[rep][inverse]
+            Cre, Cim = _dedup_rephase(Cre, Cim, omegas, delta)
     if scalar_remnant:
         if not return_amplitudes:
             return mm
@@ -879,19 +1024,27 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
 
 def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
                               T_array=100, spherical_modes=None, delta=0.0,
-                              return_amplitudes=False, chunk=64, mesh=None):
+                              return_amplitudes=False, chunk=64, mesh=None,
+                              dedup=True):
     """Multi-chip start-time sweep: the factored kernel sharded over a
     device mesh (pure data parallelism over windows, ICI all-gather of
     results).  t0_method='geq'; t0_array sorted ascending.
 
     mesh defaults to a 1D ('sweep',) mesh over all available devices of
-    the default backend.
+    the default backend.  dedup as in batch_mismatch_t0_fast (the
+    sharded kernel then sweeps only the distinct windows).
     """
     from .parallel.mesh import sharded_t0_sweep_factored, sweep_mesh
 
     times, rows, omega, mu, t0s, Ts, chunk = _prep_fast(
         times, data, modes, Mf, chif, t0_array, T_array, spherical_modes,
         delta, chunk)
+    dd = _window_dedup(times, t0s, Ts) if dedup else None
+    if dd is not None:
+        rep, inverse = dd
+        t0s_full = t0s
+        t0s, Ts = t0s[rep], Ts[rep]
+        chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
     if mesh is None:
         mesh = sweep_mesh(n_time=1)
     Cre, Cim, mm = sharded_t0_sweep_factored(
@@ -900,6 +1053,13 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
         mu.real.copy(), mu.imag.copy(), t0s, Ts, mesh=mesh, chunk=chunk,
         analytic=_uniform_spacing(times))
     mm = np.asarray(mm)
+    if dd is not None:
+        mm = mm[inverse]
+        if return_amplitudes:
+            delta_b = t0s_full - t0s_full[rep][inverse]
+            Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
+                                      np.asarray(Cim)[inverse],
+                                      omega, delta_b)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm

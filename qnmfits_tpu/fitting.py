@@ -247,7 +247,7 @@ def dynamic_multimode_ringdown_fit(times, data_dict, modes, Mf, chif, t0,
 def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
                       t0_method="geq", T_array=100, spherical_modes=None,
                       delta=0.0, engine="batched", precision="x64",
-                      mesh=None):
+                      mesh=None, dedup=True):
     """Mismatch vs ringdown start time (reference qnmfits.py:1183-1301).
 
     engine:
@@ -260,6 +260,11 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
                    (multi-chip DP over windows; ``mesh`` defaults to all
                    devices of the default backend);
       'loop'    -- reference-style serial NumPy loop.
+
+    dedup=True (default) solves each DISTINCT window once when the t0
+    grid is finer than the data sampling -- exact for static spectra
+    (batched._window_dedup, PERF.md section 25); 'loop' and the dynamic
+    sweeps always run per-t0.
     """
     if engine == "loop":
         return ref_impl.mismatch_t0_array(
@@ -289,21 +294,23 @@ def mismatch_t0_array(times, data, modes, Mf, chif, t0_array,
         if engine == "fast":
             return batch_mismatch_t0_fast(
                 times, data, modes, Mf, chif, t0_array, T_array=T_array,
-                spherical_modes=spherical_modes, delta=delta)
+                spherical_modes=spherical_modes, delta=delta, dedup=dedup)
         return batch_mismatch_t0_sharded(
             times, data, modes, Mf, chif, t0_array, T_array=T_array,
-            spherical_modes=spherical_modes, delta=delta, mesh=mesh)
+            spherical_modes=spherical_modes, delta=delta, mesh=mesh,
+            dedup=dedup)
     from .batched import batch_mismatch_t0
     return batch_mismatch_t0(
         times, data, modes, Mf, chif, t0_array, t0_method=t0_method,
         T_array=T_array, spherical_modes=spherical_modes, delta=delta,
-        precision=precision)
+        precision=precision, dedup=dedup)
 
 
 def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
                           T_array=100, *, t0_method="geq",
                           spherical_modes=None, return_amplitudes=False,
-                          mesh=None, dynamic=False, bucket=False):
+                          mesh=None, dynamic=False, bucket=False,
+                          dedup=True):
     """Mismatch vs start time for MANY mode sets in one TPU program.
 
     The workload the reference runs as a doubly nested Python loop
@@ -327,7 +334,9 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
     mesh='auto' (or an explicit Mesh) to shard the start-time axis over
     devices (static spectrum needs t0_method='geq'; dynamic=True shards
     with either window method -- the tracks replicate and the sweep is
-    pure window-DP).
+    pure window-DP).  dedup=True (default) solves each distinct window
+    once on t0 grids finer than the sampling -- exact for static
+    spectra (PERF.md section 25); dynamic fits never dedup.
     """
     if dynamic:
         if bucket:
@@ -343,7 +352,8 @@ def mismatch_t0_mode_sets(times, data, mode_sets, Mf, chif, t0_array,
     return batch_mismatch_t0_modesets(
         times, data, mode_sets, Mf, chif, t0_array, t0_method=t0_method,
         T_array=T_array, spherical_modes=spherical_modes,
-        return_amplitudes=return_amplitudes, mesh=mesh, bucket=bucket)
+        return_amplitudes=return_amplitudes, mesh=mesh, bucket=bucket,
+        dedup=dedup)
 
 
 def mismatch_M_chi_grid(times, data, modes, Mf_minmax, chif_minmax, t0,

@@ -1093,3 +1093,98 @@ class TestAnalyticGram:
                                           syn["Mf"], syn["chif"], t0s,
                                           T_array=60.0)
         np.testing.assert_allclose(mm, mm_l, rtol=0, atol=1e-11)
+
+
+class TestWindowDedup:
+    """Unique-window compression of the static t0 sweeps (PERF.md
+    section 25): on a t0 grid finer than the data sampling, dedup=True
+    must reproduce the per-t0 kernel exactly (mismatch identical, the
+    amplitudes related by the analytic rephase) -- including the
+    NumPy-oracle parity bar."""
+
+    def test_detects_duplicates_and_groups(self, syn):
+        from qnmfits_tpu.batched import (_window_dedup,
+                                         _window_dedup_closest)
+        times = syn["times"]
+        dt = times[1] - times[0]
+        t0s = np.linspace(0.0, 10.0, 201)     # ~2x finer than sampling
+        Ts = np.full_like(t0s, 60.0)
+        dd = _window_dedup(times, t0s, Ts)
+        assert dd is not None
+        rep, inverse = dd
+        assert len(rep) < len(t0s)
+        # Representatives are the first t0 of each group (delta >= 0).
+        assert np.all(t0s[rep][inverse] <= t0s + 1e-15)
+        dd_c = _window_dedup_closest(times, t0s, Ts)
+        assert dd_c is not None
+        # Coarser-than-sampling grids have no duplicates: no-op.
+        t0c = np.arange(0.0, 10.0, 4 * dt)
+        assert _window_dedup(times, t0c, np.full_like(t0c, 60.0)) is None
+
+    def test_modesets_dense_grid_matches_direct_and_oracle(self, syn_mm):
+        mode_sets = [[(2, 2, 0, 1), (2, 2, 1, 1)], [(2, 2, 0, 1)],
+                     [(2, 2, 0, 1), (2, 2, 1, 1), (3, 2, 0, 1)]]
+        t0s = np.linspace(-3.0, 25.0, 563)    # ~2x finer than sampling
+        kw = dict(T_array=60.0, spherical_modes=syn_mm["spherical_modes"],
+                  return_amplitudes=True)
+        mm_d, C_d = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, dedup=True, **kw)
+        mm_0, C_0 = batched.batch_mismatch_t0_modesets(
+            syn_mm["times"], syn_mm["data_dict"], mode_sets,
+            syn_mm["Mf"], syn_mm["chif"], t0s, dedup=False, **kw)
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+        for a, b in zip(C_d, C_0):            # ragged sets incl. padding
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+        # Oracle parity on a stratified subset (the standing 1e-11 bar).
+        for si, ms in enumerate(mode_sets):
+            sub = slice(0, None, 97)
+            mm_l = ref_impl.mismatch_t0_array(
+                syn_mm["times"], syn_mm["data_dict"], ms,
+                syn_mm["Mf"], syn_mm["chif"], t0s[sub], T_array=60.0,
+                spherical_modes=syn_mm["spherical_modes"])
+            np.testing.assert_allclose(mm_d[si][sub], mm_l,
+                                       rtol=0, atol=1e-11)
+
+    def test_fast_and_generic_paths(self, syn_mm):
+        t0s = np.linspace(0.0, 12.0, 247)
+        modes = [(2, 2, 0, 1), (2, 2, 1, 1)]
+        kw = dict(T_array=60.0, spherical_modes=syn_mm["spherical_modes"],
+                  return_amplitudes=True)
+        for fn in (batched.batch_mismatch_t0_fast,
+                   batched.batch_mismatch_t0):
+            mm_d, C_d = fn(syn_mm["times"], syn_mm["data_dict"], modes,
+                           syn_mm["Mf"], syn_mm["chif"], t0s,
+                           dedup=True, **kw)
+            mm_0, C_0 = fn(syn_mm["times"], syn_mm["data_dict"], modes,
+                           syn_mm["Mf"], syn_mm["chif"], t0s,
+                           dedup=False, **kw)
+            np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+            np.testing.assert_allclose(C_d, C_0, rtol=0, atol=1e-12)
+
+    def test_closest_windows(self, syn_mm):
+        t0s = np.linspace(0.0, 12.0, 247)
+        modes = [(2, 2, 0, 1), (2, 2, 1, 1)]
+        kw = dict(T_array=60.0, spherical_modes=syn_mm["spherical_modes"],
+                  t0_method="closest", return_amplitudes=True)
+        mm_d, C_d = batched.batch_mismatch_t0(
+            syn_mm["times"], syn_mm["data_dict"], modes,
+            syn_mm["Mf"], syn_mm["chif"], t0s, dedup=True, **kw)
+        mm_0, C_0 = batched.batch_mismatch_t0(
+            syn_mm["times"], syn_mm["data_dict"], modes,
+            syn_mm["Mf"], syn_mm["chif"], t0s, dedup=False, **kw)
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+        np.testing.assert_allclose(C_d, C_0, rtol=0, atol=1e-12)
+
+    def test_remnant_axis_dense_grid(self, syn_mm):
+        mode_sets = [[(2, 2, 0, 1)], [(2, 2, 0, 1), (2, 2, 1, 1)]]
+        t0s = np.linspace(0.0, 12.0, 247)
+        kw = dict(T_array=60.0, spherical_modes=syn_mm["spherical_modes"])
+        args = (syn_mm["times"], syn_mm["data_dict"], mode_sets,
+                np.array([syn_mm["Mf"], 0.9]),
+                np.array([syn_mm["chif"], 0.6]), t0s)
+        mm_d = batched.batch_mismatch_t0_modesets(*args, dedup=True, **kw)
+        mm_0 = batched.batch_mismatch_t0_modesets(*args, dedup=False, **kw)
+        assert mm_d.shape == (2, 2, len(t0s))
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)

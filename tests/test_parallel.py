@@ -556,3 +556,33 @@ def test_sharded_epsilon_sweep_matches_unsharded(cpu_devices):
         t0s2, spherical_modes=mm["spherical_modes"], maxiter=10)
     for a, b in zip(out_md, out_1d):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-10)
+
+
+def test_sharded_modesets_dense_grid_dedup_matches_unsharded(cpu_devices):
+    """Window dedup (PERF.md section 25) composed with the mesh: on a
+    t0 grid finer than the sampling, the sharded sweep runs only the
+    distinct windows per device and the scattered/rephased result must
+    equal both the unsharded dedup and the direct (dedup=False) path."""
+    from qnmfits_tpu import batched
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_multimode
+
+    syn = synthetic_multimode(seed=21)
+    mode_sets = [[(2, 2, 0, 1)], [(2, 2, 0, 1), (2, 2, 1, 1)]]
+    t0s = np.linspace(0.0, 12.0, 247)          # ~2x finer than dt=0.1
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    kw = dict(T_array=60.0, spherical_modes=syn["spherical_modes"],
+              return_amplitudes=True)
+    args = (syn["times"], syn["data_dict"], mode_sets,
+            syn["Mf"], syn["chif"], t0s)
+    mm_m, C_m = batched.batch_mismatch_t0_modesets(
+        *args, mesh=mesh, dedup=True, **kw)
+    mm_1, C_1 = batched.batch_mismatch_t0_modesets(
+        *args, dedup=True, **kw)
+    mm_0, C_0 = batched.batch_mismatch_t0_modesets(
+        *args, dedup=False, **kw)
+    np.testing.assert_allclose(mm_m, mm_1, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(mm_m, mm_0, rtol=0, atol=1e-12)
+    for a, b in zip(C_m, C_0):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-11)
