@@ -368,7 +368,7 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
                               spherical_modes=None, l_max=8,
                               engine="batched", precision="x64",
                               return_amplitudes=False, mesh=None,
-                              chunk=128):
+                              chunk=128, dedup=True):
     """Mapping-fit mismatch vs start time as ONE jitted program.
 
     The reference runs its mapping fit once per start time (a Python
@@ -383,7 +383,10 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
       engine='loop'     -- serial mapping_multimode_ringdown_fit oracle.
 
     Returns mm (B,); with return_amplitudes=True also C (B, J) complex
-    in mapping_design's column order.
+    in mapping_design's column order.  dedup=True (default) solves each
+    distinct window once on t0 grids finer than the data sampling --
+    exact for this static design (batched._window_dedup, PERF.md
+    section 25); the 'loop' oracle always runs per-t0.
     """
     from .engine import check_spin
     check_spin(chif)
@@ -412,6 +415,18 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
     times = np.asarray(times, float)
     rows = np.stack([np.asarray(data_dict[lm]) for lm in spherical_modes])
 
+    from .batched import (_dedup_rephase, _window_dedup,
+                          _window_dedup_closest)
+    dd = None
+    if dedup and (t0_method == "geq"
+                  or (engine == "batched" and precision == "x64")):
+        dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
+              else _window_dedup_closest(times, t0s, Ts))
+    if dd is not None:
+        rep, inverse = dd
+        t0s_full = t0s
+        t0s, Ts = t0s[rep], Ts[rep]
+
     if engine in ("fast", "sharded"):
         if t0_method != "geq":
             raise ValueError(
@@ -434,6 +449,13 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
         else:
             Cre, Cim, mm = _t0_sweep_fast_fn(chunk, analytic)(*args)
         mm = np.asarray(mm)
+        if dd is not None:
+            mm = mm[inverse]
+            if return_amplitudes:
+                delta_b = t0s_full - t0s_full[rep][inverse]
+                Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
+                                          np.asarray(Cim)[inverse],
+                                          omega, delta_b)
         if return_amplitudes:
             return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
         return mm
@@ -447,4 +469,11 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
     C, mm = fn(*[jax.device_put(np.asarray(a), dev)
                  for a in (times, rows, omega, mu, t0s, Ts)])
     mm = np.asarray(mm)
+    if dd is not None:
+        mm = mm[inverse]
+        if return_amplitudes:
+            C = np.asarray(C)[inverse]
+            delta_b = t0s_full - t0s_full[rep][inverse]
+            Cre, Cim = _dedup_rephase(C.real, C.imag, omega, delta_b)
+            C = Cre + 1j * Cim
     return (mm, np.asarray(C)) if return_amplitudes else mm

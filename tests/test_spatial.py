@@ -410,3 +410,22 @@ def test_spatial_prediction_C_matches_pointwise_closure():
     ans = S(theta, phi)
     expect = ans / np.max(np.abs(ans))
     np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
+
+
+def test_mapping_sweep_dense_grid_dedup(mapping_sweep_setup):
+    """Window dedup on the mapping sweep (PERF.md section 25): a t0
+    grid finer than the sampling must give identical mismatches and
+    rephase-exact amplitudes vs the per-t0 kernel, on both engines."""
+    s = mapping_sweep_setup
+    t0s = np.linspace(0.0, 12.0, 247)          # ~2x finer than dt=0.1
+    kw = dict(T_array=60, spherical_modes=s["spherical_modes"],
+              return_amplitudes=True)
+    for eng in ("batched", "fast"):
+        mm_0, C_0 = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            t0s, [s["quad_mode"]], engine=eng, dedup=False, **kw)
+        mm_d, C_d = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            t0s, [s["quad_mode"]], engine=eng, dedup=True, **kw)
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+        np.testing.assert_allclose(C_d, C_0, rtol=0, atol=1e-11)
