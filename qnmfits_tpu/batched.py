@@ -613,19 +613,32 @@ def _accel_backend(mesh=None):
         return False
 
 
+@lru_cache(maxsize=64)
+def _spectra_stacked_fn(chunk):
+    from .engine_real import sweep_spectra_stacked_real
+
+    return jax.jit(lambda *a: sweep_spectra_stacked_real(*a, chunk=chunk))
+
+
 def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
                        mesh=None):
     """Split-complex spectrum-batched sweep: omegas (Q, J), mus (Q, I, J)
     complex host arrays; returns (C (Q, J) complex, mm (Q,)).  Pass
     ``mesh`` to shard the grid axis over devices (DP, one gather).
-    On a TPU-class backend, uniform time grids route each grid point's
-    Gram assembly to the closed-form geometric-series path (PERF.md
-    section 19); on CPU the per-item summation matmuls are measured
-    faster and stay."""
-    args = (np.asarray(times, float), rows.real.copy(), rows.imag.copy(),
+    Uniform time grids route the STACKED analytic kernel on EVERY
+    backend (engine_real.sweep_spectra_stacked_real, PERF.md section
+    26): the data is pre-sliced host-side to the shared contiguous
+    window -- exact, every fit quantity is a window sum -- and the
+    Grams/solve/epilogue run whole-grid (measured 4.1x the summation
+    kernel even on CPU, unlike the per-item analytic path which stays
+    TPU-gated).  Non-uniform/non-contiguous falls back to the per-item
+    kernels."""
+    times = np.asarray(times, float)
+    w_np = np.asarray(w, float)
+    args = (times, rows.real.copy(), rows.imag.copy(),
             omegas.real.copy(), omegas.imag.copy(),
             mus.real.copy(), mus.imag.copy(),
-            float(t0), np.asarray(w, float))
+            float(t0), w_np)
     if mesh is not None:
         from .parallel.mesh import sharded_spectra_sweep, sweep_mesh
         if mesh == "auto":
@@ -635,8 +648,19 @@ def _run_spectra_sweep(times, rows, omegas, mus, t0, w, chunk,
                                              chunk=chunk,
                                              analytic=analytic)
     else:
-        analytic = _uniform_spacing(times) and _accel_backend()
-        Cre, Cim, mm = _spectra_sweep_fn(chunk, analytic)(*args)
+        uniform = _uniform_spacing(times)
+        idx = np.nonzero(w_np > 0.5)[0]
+        contiguous = idx.size > 0 and idx[-1] - idx[0] + 1 == idx.size
+        if uniform and contiguous:
+            sl = slice(int(idx[0]), int(idx[-1]) + 1)
+            Cre, Cim, mm = _spectra_stacked_fn(chunk)(
+                times[sl], rows.real[:, sl].copy(),
+                rows.imag[:, sl].copy(),
+                omegas.real.copy(), omegas.imag.copy(),
+                mus.real.copy(), mus.imag.copy(), float(t0))
+        else:
+            analytic = uniform and _accel_backend()
+            Cre, Cim, mm = _spectra_sweep_fn(chunk, analytic)(*args)
     return np.asarray(Cre) + 1j * np.asarray(Cim), np.asarray(mm)
 
 

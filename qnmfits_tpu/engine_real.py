@@ -402,6 +402,97 @@ def sweep_spectra_real(times, dre, dim, wrs, wis, mres, mims, t0, w,
     return jax.lax.map(one, (wrs, wis, mres, mims), batch_size=chunk)
 
 
+def sweep_spectra_stacked_real(times, dre, dim, wrs, wis, mres, mims,
+                               t0, chunk: int = 64):
+    """Stacked spectrum-batched sweep on a PRE-SLICED contiguous window
+    (uniform grid): the round-5 analytic grid kernel (PERF.md 26).
+
+    The caller slices times/data to the in-window samples (every
+    quantity below is a window sum, so the slice is exact) and this
+    kernel restructures sweep_spectra_real around the window being
+    SHARED by all Q items (reference hot loops qnmfits.py:1304-1415,
+    1679-1827 share one window too):
+
+      * window constants hoisted out of the item loop: trapezoid
+        weights, weighted data rows, the data norm, the (s, m) window
+        scalars -- the shipped kernel recomputed each per item;
+      * the data rows are pre-windowed, so the projections need no
+        Pw/Qw copies of the phase arrays (w^2 = w) and the 8 per-item
+        projection matmuls fuse into TWO (4I, K) @ (K, J) products;
+      * closed-form Grams for the WHOLE grid in one vectorized
+        geometric-series evaluation over (Q, J, J) -- K-independent;
+      * ONE whole-grid equilibrated solve + mismatch epilogue (the
+        64-lane per-chunk solves underfilled the VPU, PERF.md 24).
+
+    Amplitudes are anchored at t0 (phi = exp(-i w (t - t0))), same as
+    fit_core_real.  Returns (Cre (Q, J), Cim (Q, J), mm (Q,)).
+    """
+    K = times.shape[0]
+    tau = _trapz_weights(times, jnp.ones((K,), times.dtype))
+    dwre = dre                                  # pre-windowed by slice
+    dwim = dim
+    dtr = dre * tau[None, :]
+    dti = dim * tau[None, :]
+    Dstack = jnp.concatenate([dwre, dwim, dtr, dti], axis=0)  # (4I, K)
+    dnorm = jnp.sum(tau[None, :] * (dre * dre + dim * dim))
+    dt = times - t0                                           # (K,)
+    I = dre.shape[0]
+
+    # Whole-grid closed-form Grams.
+    s_w = times[0] - t0
+    nu_re = wis[:, :, None] + wis[:, None, :]                 # (Q, J, J)
+    nu_im = wrs[:, :, None] - wrs[:, None, :]
+    Gt_re, Gt_im, Gtau_re, Gtau_im = _geom_series_eval(
+        _fitted_step(times), K, nu_re, nu_im, s_w,
+        jnp.asarray(K, jnp.int32))
+
+    # Chunked phases + fused projections (the only K-sized stage).
+    def proj_chunk(x):
+        wr, wi = x
+        E = jnp.exp(wi[None, :] * dt[:, None])
+        ph = wr[None, :] * dt[:, None]
+        P = E * jnp.cos(ph)                                   # (K, J)
+        Qm = -E * jnp.sin(ph)
+        DP = Dstack @ P                                       # (4I, J)
+        DQ = Dstack @ Qm
+        pd_re = DP[:I] + DQ[I:2 * I]
+        pd_im = DP[I:2 * I] - DQ[:I]
+        pdt_re = DP[2 * I:3 * I] + DQ[3 * I:]
+        pdt_im = DP[3 * I:] - DQ[2 * I:3 * I]
+        return pd_re, pd_im, pdt_re, pdt_im
+
+    pd_re, pd_im, pdt_re, pdt_im = jax.lax.map(
+        proj_chunk, (wrs, wis), batch_size=chunk)             # (Q, I, J)
+
+    # Mixing contraction, whole-grid solve, mismatch.
+    M_re = jnp.einsum("qij,qik->qjk", mres, mres) \
+        + jnp.einsum("qij,qik->qjk", mims, mims)
+    M_im = jnp.einsum("qij,qik->qjk", mres, mims) \
+        - jnp.einsum("qij,qik->qjk", mims, mres)
+    G_re = M_re * Gt_re - M_im * Gt_im
+    G_im = M_re * Gt_im + M_im * Gt_re
+    G2_re = M_re * Gtau_re - M_im * Gtau_im
+    G2_im = M_re * Gtau_im + M_im * Gtau_re
+    rhs_re = jnp.einsum("qij,qij->qj", mres, pd_re) \
+        + jnp.einsum("qij,qij->qj", mims, pd_im)
+    rhs_im = jnp.einsum("qij,qij->qj", mres, pd_im) \
+        - jnp.einsum("qij,qij->qj", mims, pd_re)
+    rt_re = jnp.einsum("qij,qij->qj", mres, pdt_re) \
+        + jnp.einsum("qij,qij->qj", mims, pdt_im)
+    rt_im = jnp.einsum("qij,qij->qj", mres, pdt_im) \
+        - jnp.einsum("qij,qij->qj", mims, pdt_re)
+
+    Cre, Cim = _regularised_solve(G_re, G_im, rhs_re, rhs_im)
+    num = jnp.sum(Cre * rt_re + Cim * rt_im, axis=-1)
+    GC_re = jnp.einsum("qjl,ql->qj", G2_re, Cre) \
+        - jnp.einsum("qjl,ql->qj", G2_im, Cim)
+    GC_im = jnp.einsum("qjl,ql->qj", G2_re, Cim) \
+        + jnp.einsum("qjl,ql->qj", G2_im, Cre)
+    model_norm = jnp.sum(Cre * GC_re + Cim * GC_im, axis=-1)
+    mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+    return Cre, Cim, mm
+
+
 # ---------------------------------------------------------------------------
 # Factored t0 sweep: the throughput kernel
 # ---------------------------------------------------------------------------

@@ -18,9 +18,13 @@ stage analysis (section 10) predates the analytic Grams.  Here:
    one whole-grid solve + epilogue (the two-phase layout that measured
    1.13x, now with the hoists and larger chunks).
 
-Usage:  PYTHONPATH=.:/root/.axon_site python scripts/perf_grid_stages.py
+Usage:  PYTHONPATH=.:/root/.axon_site python -u scripts/perf_grid_stages.py
+(PERF_GRID_PART=scan|stages|stacked runs one part; default all --
+first compiles are ~30 s per program on this backend, so parts keep
+each run inside a driver timeout.)
 """
 
+import os
 import sys
 import time
 
@@ -70,13 +74,16 @@ def main():
     print(f"# device={dev} Q={Q} J={J} I={I} K={K}", file=sys.stderr)
 
     rows = []
+    part = os.environ.get("PERF_GRID_PART", "all")
 
     def record(label, el, extra=""):
         rows.append((label, el))
-        print(f"{label:22s}: {el*1e3:7.1f} ms  {Q/el:9.0f} fits/s {extra}")
+        print(f"{label:22s}: {el*1e3:7.1f} ms  {Q/el:9.0f} fits/s {extra}",
+              flush=True)
 
     # ---- shipped kernel, chunk scan -----------------------------------
-    for chunk in (64, 256, 512, 1024):
+    chunks = (64, 256, 512, 1024) if part in ("all", "scan") else (64,)
+    for chunk in chunks:
         fn = jax.jit(lambda *x, c=chunk: er.sweep_spectra_real(
             *x, chunk=c, analytic=True))
         el, out = bench_fn(fn, a)
@@ -84,7 +91,12 @@ def main():
         if chunk == 64:
             mm0 = np.asarray(out[2])
 
+    if part == "scan":
+        return
+
     # ---- stages (shipped structure: lax.map batch 64) -----------------
+    skip_stages = part == "stacked"
+
     def chunked(body, batch=64):
         def fn(times, dre, dim, wrs, wis, mres, mims, t0_, w_):
             return jax.lax.map(
@@ -99,8 +111,9 @@ def main():
         P = E * jnp.cos(ph)
         Qm = -E * jnp.sin(ph)
         return jnp.sum(P) + jnp.sum(Qm)
-    el, _ = bench_fn(chunked(phase_body), a)
-    record("phase (transcend.)", el)
+    if not skip_stages:
+        el, _ = bench_fn(chunked(phase_body), a)
+        record("phase (transcend.)", el)
 
     def proj_body(times, dre, dim, wr, wi, mre, mim, t0_, w_):
         dt = (times[:, None] - t0_) * w_[:, None]
@@ -121,16 +134,18 @@ def main():
         pdt_im = dim @ Pt - dre @ Qt
         return (jnp.sum(pd_re) + jnp.sum(pd_im) + jnp.sum(pdt_re)
                 + jnp.sum(pdt_im))
-    el, _ = bench_fn(chunked(proj_body), a)
-    record("proj (+phases)", el)
+    if not skip_stages:
+        el, _ = bench_fn(chunked(proj_body), a)
+        record("proj (+phases)", el)
 
     def gram_body(times, dre, dim, wr, wi, mre, mim, t0_, w_):
         Gt_re, Gt_im, Gtau_re, Gtau_im = er._analytic_gram_window(
             times, wr, wi, t0_, w_)
         return (jnp.sum(Gt_re) + jnp.sum(Gt_im) + jnp.sum(Gtau_re)
                 + jnp.sum(Gtau_im))
-    el, _ = bench_fn(chunked(gram_body), a)
-    record("gram (analytic)", el)
+    if not skip_stages:
+        el, _ = bench_fn(chunked(gram_body), a)
+        record("gram (analytic)", el)
 
     # solve standalone: whole-grid batch vs 64-chunks
     rng = np.random.default_rng(0)
@@ -149,13 +164,18 @@ def main():
         return jax.lax.map(lambda x: er._regularised_solve(
             x[0][None], x[1][None], x[2][None], x[3][None]),
             (Gre, Gim, bre, bim), batch_size=64)
-    el, _ = bench_fn(jax.jit(solve_chunked), sa)
-    record("solve (64-chunks)", el)
+    if not skip_stages:
+        el, _ = bench_fn(jax.jit(solve_chunked), sa)
+        record("solve (64-chunks)", el)
 
     def solve_whole(Gre, Gim, bre, bim):
         return er._regularised_solve(Gre, Gim, bre, bim)
-    el, _ = bench_fn(jax.jit(solve_whole), sa)
-    record("solve (whole grid)", el)
+    if not skip_stages:
+        el, _ = bench_fn(jax.jit(solve_whole), sa)
+        record("solve (whole grid)", el)
+
+    if part == "stages":
+        return
 
     # ---- restructured kernel ------------------------------------------
     def stacked(chunk):
@@ -224,11 +244,94 @@ def main():
             return Cre, Cim, mm
         return jax.jit(fn)
 
-    for chunk in (64, 256, 512, 1024):
-        el, out = bench_fn(stacked(chunk), a)
-        mm1 = np.asarray(out[2])
-        record(f"stacked chunk={chunk}", el,
-               f"max|mm diff|={np.max(np.abs(mm1 - mm0)):.1e}")
+    # full-K stacked: measured NEUTRAL (148.8 ms vs shipped 139.3 at
+    # chunk=64) and chunk>=128 falls off the same cliff as the shipped
+    # scan -- kept for the record.
+    el, out = bench_fn(stacked(64), a)
+    mm1 = np.asarray(out[2])
+    record("stacked full-K c=64", el,
+           f"max|mm diff|={np.max(np.abs(mm1 - mm0)):.1e}")
+
+    # The SHIPPED configuration: host pre-slice to the contiguous
+    # window (exact -- every fit quantity is a window sum), then the
+    # stacked kernel (engine_real.sweep_spectra_stacked_real).
+    w_np = np.asarray(w)
+    idx = np.nonzero(w_np > 0.5)[0]
+    sl = slice(int(idx[0]), int(idx[-1]) + 1)
+    a_sl = [jax.device_put(np.asarray(x), dev) for x in (
+        np.asarray(times)[sl], data.real[:1][:, sl],
+        data.imag[:1][:, sl], wrs, wis, mres, mims)] + [t0]
+    ship = jax.jit(lambda *x: er.sweep_spectra_stacked_real(*x, chunk=64))
+    el, out = bench_fn(ship, a_sl)
+    mm2 = np.asarray(out[2])
+    record("stacked SLICED c=64", el,
+           f"max|mm diff|={np.max(np.abs(mm2 - mm0)):.1e}")
+
+    # Pallas double-single solve for the whole-grid stage (PERF.md 4d:
+    # standalone it beats the XLA solve; the 2500-system whole-grid
+    # solve IS the standalone case).
+    from qnmfits_tpu.ops.chol_pallas import complex_cholesky_solve_ds
+
+    def ship_pallas(times_, dre, dim, wrs_, wis_, mres_, mims_, t0_):
+        K_ = times_.shape[0]
+        tau = er._trapz_weights(times_, jnp.ones((K_,), times_.dtype))
+        dtr = dre * tau[None, :]
+        dti = dim * tau[None, :]
+        Dstack = jnp.concatenate([dre, dim, dtr, dti], axis=0)
+        dnorm = jnp.sum(tau[None, :] * (dre * dre + dim * dim))
+        dt = times_ - t0_
+        I_ = dre.shape[0]
+        s_w = times_[0] - t0_
+        nu_re = wis_[:, :, None] + wis_[:, None, :]
+        nu_im = wrs_[:, :, None] - wrs_[:, None, :]
+        Gt_re, Gt_im, Gtau_re, Gtau_im = er._geom_series_eval(
+            er._fitted_step(times_), K_, nu_re, nu_im, s_w,
+            jnp.asarray(K_, jnp.int32))
+
+        def proj_chunk(x):
+            wr, wi = x
+            E = jnp.exp(wi[None, :] * dt[:, None])
+            ph = wr[None, :] * dt[:, None]
+            P = E * jnp.cos(ph)
+            Qm = -E * jnp.sin(ph)
+            DP = Dstack @ P
+            DQ = Dstack @ Qm
+            pd_re = DP[:I_] + DQ[I_:2 * I_]
+            pd_im = DP[I_:2 * I_] - DQ[:I_]
+            pdt_re = DP[2 * I_:3 * I_] + DQ[3 * I_:]
+            pdt_im = DP[3 * I_:] - DQ[2 * I_:3 * I_]
+            return pd_re, pd_im, pdt_re, pdt_im
+
+        pd_re, pd_im, pdt_re, pdt_im = jax.lax.map(
+            proj_chunk, (wrs_, wis_), batch_size=64)
+        M_re = jnp.einsum("qij,qik->qjk", mres_, mres_)             + jnp.einsum("qij,qik->qjk", mims_, mims_)
+        M_im = jnp.einsum("qij,qik->qjk", mres_, mims_)             - jnp.einsum("qij,qik->qjk", mims_, mres_)
+        G_re = M_re * Gt_re - M_im * Gt_im
+        G_im = M_re * Gt_im + M_im * Gt_re
+        G2_re = M_re * Gtau_re - M_im * Gtau_im
+        G2_im = M_re * Gtau_im + M_im * Gtau_re
+        rhs_re = jnp.einsum("qij,qij->qj", mres_, pd_re)             + jnp.einsum("qij,qij->qj", mims_, pd_im)
+        rhs_im = jnp.einsum("qij,qij->qj", mres_, pd_im)             - jnp.einsum("qij,qij->qj", mims_, pd_re)
+        rt_re = jnp.einsum("qij,qij->qj", mres_, pdt_re)             + jnp.einsum("qij,qij->qj", mims_, pdt_im)
+        rt_im = jnp.einsum("qij,qij->qj", mres_, pdt_im)             - jnp.einsum("qij,qij->qj", mims_, pdt_re)
+
+        # Equilibrate in XLA (dead-column masking etc.), Pallas for the
+        # Cholesky solve itself, unscale after.
+        A, Bm, br, bi, Di = er._equilibrated(G_re, G_im, rhs_re, rhs_im)
+        xre, xim = complex_cholesky_solve_ds(A, Bm, br, bi, tile=2048)
+        Cre = xre * Di
+        Cim = xim * Di
+        num = jnp.sum(Cre * rt_re + Cim * rt_im, axis=-1)
+        GC_re = jnp.einsum("qjl,ql->qj", G2_re, Cre)             - jnp.einsum("qjl,ql->qj", G2_im, Cim)
+        GC_im = jnp.einsum("qjl,ql->qj", G2_re, Cim)             + jnp.einsum("qjl,ql->qj", G2_im, Cre)
+        model_norm = jnp.sum(Cre * GC_re + Cim * GC_im, axis=-1)
+        mm = 1.0 - num / jnp.sqrt(model_norm * dnorm)
+        return Cre, Cim, mm
+
+    el, out = bench_fn(jax.jit(ship_pallas), a_sl)
+    mm3 = np.asarray(out[2])
+    record("stacked SLICED+pallas", el,
+           f"max|mm diff|={np.max(np.abs(mm3 - mm0)):.1e}")
 
     print("\n# stage table (standalone; stages overlap)")
     for label, el in rows:

@@ -1188,3 +1188,52 @@ class TestWindowDedup:
         mm_0 = batched.batch_mismatch_t0_modesets(*args, dedup=False, **kw)
         assert mm_d.shape == (2, 2, len(t0s))
         np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+
+
+class TestStackedGridKernel:
+    """engine_real.sweep_spectra_stacked_real (PERF.md section 26): the
+    pre-sliced whole-grid kernel must equal the per-item kernels on the
+    same window.  The public grids route it on every backend for
+    uniform grids + contiguous windows, so TestGrids/TestFastGrids
+    already cover the routing; this pins the kernel itself, incl. a
+    'closest'-style window whose first sample precedes t0."""
+
+    def _problem(self, Q=37, J=5, I=2):
+        rng = np.random.default_rng(3)
+        times = np.arange(-10.0, 40.05, 0.1)
+        K = len(times)
+        dre = rng.standard_normal((I, K))
+        dim = rng.standard_normal((I, K))
+        wrs = 0.5 + rng.random((Q, J))
+        wis = -0.05 - 0.3 * rng.random((Q, J))
+        mres = rng.standard_normal((Q, I, J))
+        mims = rng.standard_normal((Q, I, J))
+        return times, dre, dim, wrs, wis, mres, mims
+
+    def _compare(self, t0, w):
+        import jax
+        from qnmfits_tpu import engine_real as er
+        times, dre, dim, wrs, wis, mres, mims = self._problem()
+        summ = jax.jit(lambda *x: er.sweep_spectra_real(
+            *x, chunk=8, analytic=False))
+        _, _, mm0 = summ(times, dre, dim, wrs, wis, mres, mims, t0, w)
+        idx = np.nonzero(w > 0.5)[0]
+        sl = slice(int(idx[0]), int(idx[-1]) + 1)
+        stacked = jax.jit(lambda *x: er.sweep_spectra_stacked_real(
+            *x, chunk=8))
+        _, _, mm1 = stacked(times[sl], dre[:, sl], dim[:, sl],
+                            wrs, wis, mres, mims, t0)
+        np.testing.assert_allclose(np.asarray(mm1), np.asarray(mm0),
+                                   rtol=0, atol=1e-12)
+
+    def test_geq_window(self):
+        times = np.arange(-10.0, 40.05, 0.1)
+        t0 = 0.7
+        w = ((times >= t0) & (times < t0 + 25.0)).astype(float)
+        self._compare(t0, w)
+
+    def test_closest_window_first_sample_before_t0(self):
+        times = np.arange(-10.0, 40.05, 0.1)
+        t0 = 0.74                               # closest sample is 0.7
+        w = ((times >= 0.7) & (times < 25.7)).astype(float)
+        self._compare(t0, w)
