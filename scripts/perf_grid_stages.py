@@ -246,11 +246,14 @@ def main():
 
     # full-K stacked: measured NEUTRAL (148.8 ms vs shipped 139.3 at
     # chunk=64) and chunk>=128 falls off the same cliff as the shipped
-    # scan -- kept for the record.
-    el, out = bench_fn(stacked(64), a)
-    mm1 = np.asarray(out[2])
-    record("stacked full-K c=64", el,
-           f"max|mm diff|={np.max(np.abs(mm1 - mm0)):.1e}")
+    # scan -- re-measure with PERF_GRID_FULLK=1 (each program's first
+    # execution pays a ~minutes device load on this backend, so the
+    # default run skips it to fit the timeout).
+    if os.environ.get("PERF_GRID_FULLK"):
+        el, out = bench_fn(stacked(64), a)
+        mm1 = np.asarray(out[2])
+        record("stacked full-K c=64", el,
+               f"max|mm diff|={np.max(np.abs(mm1 - mm0)):.1e}")
 
     # The SHIPPED configuration: host pre-slice to the contiguous
     # window (exact -- every fit quantity is a window sum), then the
