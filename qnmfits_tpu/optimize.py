@@ -27,6 +27,18 @@ __all__ = ["calculate_epsilon_gradient", "free_frequency_fit_gradient",
            "free_frequency_fit_array", "calculate_epsilon_array"]
 
 
+def _optimizer_dedup(times, t0s, Ts, t0_method):
+    """Unique-window keys for the array optimisers (PERF.md section 25):
+    the mismatch objective is invariant under the basis t0-shift, so
+    start times whose windows hold the same samples pose the SAME
+    optimisation problem; every returned quantity is window-pure, so
+    the scatter needs no rephase."""
+    from .batched import _window_dedup, _window_dedup_closest
+    if t0_method == "geq":
+        return _window_dedup(times, t0s, Ts)
+    return _window_dedup_closest(times, t0s, Ts)
+
+
 def _canon(modes):
     return tuple(tuple(int(x) for x in m) for m in modes)
 
@@ -317,7 +329,8 @@ def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
 def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
                              chif=None, t0_method="geq", T_array=100,
                              x0=(1.0, -0.5), maxiter=30,
-                             return_mismatch=False, mesh=None):
+                             return_mismatch=False, mesh=None,
+                             dedup=True):
     """Free complex-frequency fit at EVERY start time in one program.
 
     The in-jit equivalent of looping free_frequency_fit over t0_array
@@ -333,6 +346,13 @@ def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
     With ``mesh=`` (a ``parallel.mesh.sweep_mesh``) the t0 axis is
     sharded over the mesh's 'sweep' devices -- pure DP, identical
     per-window computation, one result all-gather.
+
+    dedup=True (default) optimises each DISTINCT window once on t0
+    grids finer than the data sampling (batched._window_dedup, PERF.md
+    section 25): the objective is phase-invariant in t0 (the basis
+    shift is a column rescale), so duplicate windows pose the same
+    optimisation problem and every returned quantity (omega, mismatch,
+    success) is window-pure -- the scatter needs no rephase.
     """
     if modes and (Mf is None or chif is None):
         raise ValueError(
@@ -342,6 +362,10 @@ def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
     t0s = np.asarray(t0_array, float)
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
+    dd = _optimizer_dedup(times, t0s, Ts, t0_method) if dedup else None
+    if dd is not None:
+        rep, inverse = dd
+        t0s, Ts = t0s[rep], Ts[rep]
     if mesh is not None:
         x, mm, ok = _free_freq_sweep_sharded(
             _canon(modes), t0_method, int(maxiter), mesh,
@@ -360,6 +384,10 @@ def free_frequency_fit_array(times, data, t0_array, modes=[], Mf=None,
                           t0s, Ts, np.asarray(x0, float))]
         x, mm, ok = fn(*args)
     x = np.asarray(x)
+    if dd is not None:
+        x = x[inverse]
+        mm = np.asarray(mm)[inverse]
+        ok = np.asarray(ok)[inverse]
     omega = x[:, 0] + 1j * x[:, 1]
     if return_mismatch:
         return omega, np.asarray(mm), np.asarray(ok)
@@ -490,7 +518,8 @@ def _epsilon_sweep_sharded(modes, sph, t0_method, maxiter, mesh,
 def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
                             t0_method="geq", T_array=100,
                             spherical_modes=None, delta=0.0, x0=None,
-                            maxiter=30, return_remnant=True, mesh=None):
+                            maxiter=30, return_remnant=True, mesh=None,
+                            dedup=True):
     """Remnant recovery (epsilon) at EVERY start time in one program.
 
     The in-jit (seed patch + damped Newton, vmapped) equivalent of
@@ -513,6 +542,12 @@ def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
     With ``mesh=`` (a ``parallel.mesh.sweep_mesh``) the t0 axis is
     sharded over the mesh's 'sweep' devices -- pure DP, identical
     per-window computation, one result all-gather.
+
+    dedup=True (default) optimises each DISTINCT window once on t0
+    grids finer than the data sampling (batched._window_dedup, PERF.md
+    section 25): the mismatch objective is invariant under the basis
+    t0-shift, so duplicate windows pose the same remnant-recovery
+    problem and (eps, Mf, chif) are window-pure.
     """
     from .ref_impl import _delta_factor
     from .engine import check_spin
@@ -533,6 +568,10 @@ def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
     Ts = np.ascontiguousarray(
         np.broadcast_to(np.asarray(T_array, float), t0s.shape))
     x0_v = np.asarray(x0 if x0 is not None else [Mf, chif], float)
+    dd = _optimizer_dedup(times, t0s, Ts, t0_method) if dedup else None
+    if dd is not None:
+        rep, inverse = dd
+        t0s, Ts = t0s[rep], Ts[rep]
     if mesh is not None:
         x, mm, ok = _epsilon_sweep_sharded(
             _canon(modes), sph, t0_method, int(maxiter), mesh,
@@ -546,6 +585,8 @@ def calculate_epsilon_array(times, data, modes, Mf, chif, t0_array,
                           x0_v)]
         x, mm, ok = fn(*args)
     x = np.asarray(x)
+    if dd is not None:
+        x = x[inverse]
     eps = np.sqrt((x[:, 0] - Mf) ** 2 + (x[:, 1] - chif) ** 2)
     if return_remnant:
         return eps, x[:, 0], x[:, 1]

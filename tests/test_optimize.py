@@ -169,6 +169,62 @@ class TestBatchedOptimizerSweeps:
                                    atol=1e-4)
 
 
+class TestOptimizerDedup:
+    """dedup=True on the array optimisers (PERF.md section 25): on a t0
+    grid finer than the data sampling each DISTINCT window is optimised
+    once and the result scattered back; the objective is invariant
+    under the basis t0-shift, so the recovered quantities must match
+    the direct (dedup=False) sweep."""
+
+    @pytest.fixture(scope="class")
+    def syn(self):
+        from qnmfits_tpu.testing import synthetic_single
+        return synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                                noise=0.0, seed=7)
+
+    # dt=0.1 in the fixture; spacing 0.0625 gives duplicate windows.
+    T0S = np.linspace(0.0, 2.0, 33)
+
+    def test_dedup_fires_on_fine_grid(self, syn):
+        from qnmfits_tpu.optimize import _optimizer_dedup
+        Ts = np.full_like(self.T0S, 100.0)
+        dd = _optimizer_dedup(syn["times"], self.T0S, Ts, "geq")
+        assert dd is not None
+        rep, inverse = dd
+        assert len(rep) < len(self.T0S)
+        assert inverse.shape == self.T0S.shape
+        # Each t0 maps to a representative holding the SAME samples.
+        t = syn["times"]
+        key = (np.searchsorted(t, self.T0S) * (len(t) + 1)
+               + np.searchsorted(t, self.T0S + Ts))
+        np.testing.assert_array_equal(key[rep][inverse], key)
+
+    def test_free_frequency_dedup_matches_direct(self, syn):
+        from qnmfits_tpu.optimize import free_frequency_fit_array
+        w_d, mm_d, ok_d = free_frequency_fit_array(
+            syn["times"], syn["data"], self.T0S, dedup=True,
+            return_mismatch=True)
+        w_0, mm_0, ok_0 = free_frequency_fit_array(
+            syn["times"], syn["data"], self.T0S, dedup=False,
+            return_mismatch=True)
+        np.testing.assert_allclose(w_d, w_0, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-10)
+        np.testing.assert_array_equal(ok_d, ok_0)
+
+    def test_epsilon_dedup_matches_direct(self, syn):
+        from qnmfits_tpu.optimize import calculate_epsilon_array
+        kw = dict(t0_method="closest")
+        eps_d, Mf_d, chif_d = calculate_epsilon_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], self.T0S, dedup=True, **kw)
+        eps_0, Mf_0, chif_0 = calculate_epsilon_array(
+            syn["times"], syn["data"], syn["modes"], syn["Mf"],
+            syn["chif"], self.T0S, dedup=False, **kw)
+        np.testing.assert_allclose(Mf_d, Mf_0, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(chif_d, chif_0, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(eps_d, eps_0, rtol=0, atol=1e-9)
+
+
 def test_free_frequency_array_closest_method():
     from qnmfits_tpu.optimize import (free_frequency_fit_array,
                                       free_frequency_fit_gradient)
