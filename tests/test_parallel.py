@@ -525,6 +525,31 @@ def test_sharded_free_frequency_sweep_fixed_modes(cpu_devices):
     np.testing.assert_allclose(w_m, w_1, rtol=0, atol=1e-12)
 
 
+def test_sharded_free_frequency_dedup_matches_direct(cpu_devices):
+    """Window dedup (PERF.md section 25) composed with the mesh on the
+    optimiser sweep: a t0 grid finer than the sampling shrinks to the
+    distinct windows (here a non-multiple of the device count -> the
+    pad+trim path) and the scattered result must equal the unsharded
+    direct (dedup=False) sweep."""
+    from qnmfits_tpu.optimize import free_frequency_fit_array
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, n, 1) for n in range(3)],
+                           noise=0.0, seed=7)
+    t0s = np.linspace(0.0, 1.5, 25)           # 0.0625 spacing vs dt=0.1
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    w_m, mm_m, ok_m = free_frequency_fit_array(
+        syn["times"], syn["data"], t0s, mesh=mesh, dedup=True,
+        return_mismatch=True)
+    w_0, mm_0, ok_0 = free_frequency_fit_array(
+        syn["times"], syn["data"], t0s, dedup=False,
+        return_mismatch=True)
+    np.testing.assert_allclose(w_m, w_0, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(mm_m, mm_0, rtol=0, atol=1e-10)
+    np.testing.assert_array_equal(ok_m, ok_0)
+
+
 def test_sharded_epsilon_sweep_matches_unsharded(cpu_devices):
     """calculate_epsilon_array(mesh=...) == mesh=None (both the array
     and dict data routes)."""
