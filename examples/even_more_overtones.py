@@ -79,6 +79,22 @@ verdict = (f"first non-significant added overtone n={nonsig[0] + 1}"
 print(f"BIC-supported ladder depth at t0=10, noise 1e-4: "
       f"n<={sel['best_bic']} of n<=11 tried ({verdict})")
 
+# Are the fitted overtones PHYSICAL or overfit?  The amplitude-stability
+# criterion (qf.amplitude_stability, Giesler+ arXiv:1903.08284 fig. 6):
+# rephased to t_ref=0, a mode truly in the data fits to a constant
+# amplitude across start times; a spurious one wanders.  Here the
+# injected n<=4 ladder is rock-stable under noise while an appended
+# n=8 overtone (absent from this data) scatters by orders.
+h5 = qf.ringdown(times, 0.0, amps[:5], freqs[:5]) + 1e-6 * (
+    rng.standard_normal(times.size) + 1j * rng.standard_normal(times.size))
+stab = qf.amplitude_stability(
+    times, h5, [(2, 2, n, 1) for n in range(5)] + [(2, 2, 8, 1)],
+    Mf, chif, np.linspace(0.0, 12.0, 49), t_ref=0.0)
+print("amplitude stability at t_ref=0 (rel_std; injected n<=4 + n=8):")
+for m, rs, sc in zip(stab["modes"], stab["rel_std"], stab["scatter"]):
+    tag = "injected" if m[2] < 5 else "ABSENT"
+    print(f"  n={m[2]}: rel_std {rs:.2e}  scatter {sc:.2e}  [{tag}]")
+
 # Beyond the reference's reach: the SAME study on the (3,3) harmonic.
 # Cook data (and therefore the reference) stops at n<=7; the baked
 # tables carry the l=3/4 ladders to n<=14 (scripts/extend_overtones.py),

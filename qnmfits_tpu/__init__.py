@@ -84,12 +84,14 @@ from .optimize import (  # noqa: E402
     free_frequency_fit_array,
 )
 from .plotting import (  # noqa: E402
+    plot_amplitude_stability,
     plot_mismatch_M_chi_grid,
     plot_mismatch_omega_grid,
     plot_mode_amplitudes,
     plot_ringdown,
     plot_ringdown_modes,
 )
+from .stability import amplitude_stability  # noqa: E402
 from .orthonormal import (  # noqa: E402
     orthonormal_decomposition,
     orthonormal_t0_sweep,

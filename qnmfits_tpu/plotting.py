@@ -14,6 +14,7 @@ from .ref_impl import ringdown
 __all__ = [
     "plot_ringdown", "plot_ringdown_modes", "plot_mode_amplitudes",
     "plot_mismatch_M_chi_grid", "plot_mismatch_omega_grid",
+    "plot_amplitude_stability",
 ]
 
 
@@ -181,3 +182,32 @@ def plot_mismatch_omega_grid(mm_grid, re_minmax, im_minmax, truth=None,
         mm_grid, [*re_minmax, *im_minmax],
         r"$\mathrm{Re}[\omega]$", r"$\mathrm{Im}[\omega]$",
         truth, marker, (True, True), outfile, fig_kw)
+
+
+def plot_amplitude_stability(result, truth=None, xlim=None, ylim=None,
+                             legend=True, outfile=None, fig_kw={}):
+    """|A_j(t0)| per mode from `amplitude_stability`'s result dict
+    (the Giesler+ arXiv:1903.08284 fig. 6 style stability plot; no
+    reference counterpart).  truth, if given, is a (J,) array of known
+    amplitudes drawn as horizontal dashed lines."""
+    t0s = np.asarray(result["t0s"])
+    absA = np.abs(np.asarray(result["A"]))
+    fig, ax = _subplots(figsize=(8, 4), **fig_kw)
+    for j, m in enumerate(result["modes"]):
+        label = ",".join(str(int(x)) for x in m)
+        ax.plot(t0s, absA[:, j], color=f"C{j % 10}",
+                label=rf"$({label})$")
+        if truth is not None:
+            ax.axhline(np.abs(truth[j]), color=f"C{j % 10}",
+                       linestyle="--", alpha=0.5)
+    ax.set_yscale("log")
+    if xlim is not None:
+        ax.set_xlim(*xlim)
+    if ylim is not None:
+        ax.set_ylim(*ylim)
+    ax.set_xlabel(r"$t_0\ [M]$")
+    ax.set_ylabel(r"$|A|$ at $t_\mathrm{ref}$")
+    if legend:
+        ax.legend(frameon=False, ncol=3)
+    _finish(fig, outfile)
+    return ax

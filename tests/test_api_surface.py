@@ -40,6 +40,10 @@ BEYOND_REFERENCE = [
     # TPU-native surfaces a reference user gains by switching
     "mismatch_t0_mode_sets", "free_frequency_fit_array",
     "calculate_epsilon_array", "fit_events",
+    # diagnostics
+    "orthonormal_decomposition", "orthonormal_t0_sweep",
+    "amplitude_uncertainty", "mode_selection",
+    "amplitude_stability", "plot_amplitude_stability",
 ]
 
 
