@@ -222,25 +222,25 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
         dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
               else _window_dedup_closest(times, t0s, Ts))
     if dd is not None:
-        rep, inverse = dd
         t0s_full = t0s
-        t0s, Ts = t0s[rep], np.asarray(Ts)[rep]
+        t0s, Ts = t0s[dd[0]], np.asarray(Ts)[dd[0]]
     fn = _t0_sweep_fn(_canon(modes), sph, t0_method, precision)
     df = np.asarray(_delta_factor(delta, len(modes)))
     C, mm = fn(*_put((times, rows, float(Mf), float(chif), t0s,
                       np.ascontiguousarray(Ts), df), precision))
     mm = np.asarray(mm)
     if dd is not None:
-        mm = mm[inverse]
         if return_amplitudes:
             ev = SpectrumEvaluator(list(_canon(modes)),
                                    list(sph) if sph else None)
             with _on_host():
                 omega = np.asarray(ev.omega(float(chif), float(Mf), df))
-            C = np.asarray(C)[inverse]
-            delta_b = t0s_full - t0s_full[rep][inverse]
-            Cre, Cim = _dedup_rephase(C.real, C.imag, omega, delta_b)
+            C = np.asarray(C)
+            mm, Cre, Cim = _dedup_scatter(dd, t0s_full, mm,
+                                          C.real, C.imag, omega)
             C = Cre + 1j * Cim
+        else:
+            mm, _, _ = _dedup_scatter(dd, t0s_full, mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm
 
 
@@ -515,6 +515,22 @@ def _dedup_rephase(Cre, Cim, omegas, delta):
     return (g * (Cre * c + Cim * s), g * (Cim * c - Cre * s))
 
 
+def _dedup_scatter(dd, t0s_full, mm, Cre=None, Cim=None, omegas=None):
+    """Shared dedup epilogue (PERF.md section 25): scatter the
+    distinct-window results back over the full t0 axis and rephase the
+    amplitudes.  t0 must be the LAST axis of mm and the second-to-last
+    of Cre/Cim (every sweep kernel's layout).  Pass Cre/Cim/omegas only
+    when amplitudes were requested; returns (mm, Cre, Cim)."""
+    rep, inverse = dd
+    mm = np.asarray(mm)[..., inverse]
+    if Cre is not None:
+        delta = t0s_full - t0s_full[rep][inverse]
+        Cre, Cim = _dedup_rephase(np.asarray(Cre)[..., inverse, :],
+                                  np.asarray(Cim)[..., inverse, :],
+                                  omegas, delta)
+    return mm, Cre, Cim
+
+
 @lru_cache(maxsize=64)
 def _t0_sweep_fast_fn(chunk, analytic=False):
     # The spectrum is evaluated host-side (complex splines must never
@@ -569,22 +585,19 @@ def batch_mismatch_t0_fast(times, data, modes, Mf, chif, t0_array,
         delta, chunk)
     dd = _window_dedup(times, t0s, Ts) if dedup else None
     if dd is not None:
-        rep, inverse = dd
         t0s_full = t0s
-        t0s, Ts = t0s[rep], Ts[rep]
+        t0s, Ts = t0s[dd[0]], Ts[dd[0]]
         chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
     fn = _t0_sweep_fast_fn(chunk, _uniform_spacing(times))
     Cre, Cim, mm = fn(times, rows.real.copy(), rows.imag.copy(),
                       omega.real.copy(), omega.imag.copy(),
                       mu.real.copy(), mu.imag.copy(), t0s, Ts)
-    mm = np.asarray(mm)
     if dd is not None:
-        mm = mm[inverse]
-        if return_amplitudes:
-            delta_b = t0s_full - t0s_full[rep][inverse]
-            Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
-                                      np.asarray(Cim)[inverse],
-                                      omega, delta_b)
+        mm, Cre, Cim = _dedup_scatter(
+            dd, t0s_full, mm,
+            Cre if return_amplitudes else None,
+            Cim if return_amplitudes else None, omega)
+    mm = np.asarray(mm)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm
@@ -957,9 +970,8 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
         dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
               else _window_dedup_closest(times, t0s, Ts))
     if dd is not None:
-        rep, inverse = dd
         t0s_full = t0s
-        t0s, Ts = t0s[rep], Ts[rep]
+        t0s, Ts = t0s[dd[0]], Ts[dd[0]]
 
     if t0_method == "closest":
         if mesh is not None:
@@ -1025,14 +1037,12 @@ def batch_mismatch_t0_modesets(times, data, mode_sets, Mf, chif, t0_array,
                 Cim[idx, :, :bw] = np.asarray(Cim_b)
         else:
             Cre, Cim, mm = run_group(omegas, mus, masks_run)
-    mm = np.asarray(mm)
     if dd is not None:
-        mm = mm[..., inverse]
-        if return_amplitudes:
-            Cre = np.asarray(Cre)[..., inverse, :]
-            Cim = np.asarray(Cim)[..., inverse, :]
-            delta = t0s_full - t0s_full[rep][inverse]
-            Cre, Cim = _dedup_rephase(Cre, Cim, omegas, delta)
+        mm, Cre, Cim = _dedup_scatter(
+            dd, t0s_full, mm,
+            Cre if return_amplitudes else None,
+            Cim if return_amplitudes else None, omegas)
+    mm = np.asarray(mm)
     if scalar_remnant:
         if not return_amplitudes:
             return mm
@@ -1065,9 +1075,8 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
         delta, chunk)
     dd = _window_dedup(times, t0s, Ts) if dedup else None
     if dd is not None:
-        rep, inverse = dd
         t0s_full = t0s
-        t0s, Ts = t0s[rep], Ts[rep]
+        t0s, Ts = t0s[dd[0]], Ts[dd[0]]
         chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)
     if mesh is None:
         mesh = sweep_mesh(n_time=1)
@@ -1076,14 +1085,12 @@ def batch_mismatch_t0_sharded(times, data, modes, Mf, chif, t0_array,
         omega.real.copy(), omega.imag.copy(),
         mu.real.copy(), mu.imag.copy(), t0s, Ts, mesh=mesh, chunk=chunk,
         analytic=_uniform_spacing(times))
-    mm = np.asarray(mm)
     if dd is not None:
-        mm = mm[inverse]
-        if return_amplitudes:
-            delta_b = t0s_full - t0s_full[rep][inverse]
-            Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
-                                      np.asarray(Cim)[inverse],
-                                      omega, delta_b)
+        mm, Cre, Cim = _dedup_scatter(
+            dd, t0s_full, mm,
+            Cre if return_amplitudes else None,
+            Cim if return_amplitudes else None, omega)
+    mm = np.asarray(mm)
     if return_amplitudes:
         return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
     return mm

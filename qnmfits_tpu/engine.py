@@ -332,6 +332,15 @@ def _device_for(precision: str):
         try:
             if precision == "x64":
                 return jax.devices("cpu")[0]
+            # An explicitly configured default device wins: test suites
+            # pin jax_default_device=cpu (the axon TPU plugin ignores
+            # JAX_PLATFORMS, so env pinning alone cannot keep explicit
+            # placements off a stalled tunnel).  Production leaves the
+            # default unset and gets the accelerator.
+            dflt = getattr(jax.config, "jax_default_device", None)
+            if dflt is not None:
+                return (jax.devices(dflt)[0] if isinstance(dflt, str)
+                        else dflt)
             try:
                 return jax.devices()[0]
             except RuntimeError:

@@ -289,27 +289,16 @@ def _free_freq_sweep_fn(modes, t0_method, maxiter):
     return jax.jit(run)
 
 
-def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
-                             times, data, Mf, chif, t0s, Ts, x0):
-    """Mesh-sharded free-frequency sweep: start times DP over 'sweep'.
-
-    Pure data parallelism (SURVEY section 2.6's only parallel axis for
-    this workload): every device runs the IDENTICAL per-window
-    seed-grid + damped-Newton optimiser on its t0 block; the only
-    communication is the result all-gather.  x64/complex work, so this
-    targets CPU meshes (and future TPU generations with native f64) --
-    the split-complex TPU sweeps are the batched.* surfaces."""
+@lru_cache(maxsize=64)
+def _free_freq_sweep_sharded_fn(modes, t0_method, maxiter, mesh):
+    """Cached jitted shard_map runner (jit caches by function identity,
+    so the closure must be built once per (modes, method, maxiter,
+    mesh) -- same rule as every other *_fn here)."""
     from functools import partial
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
-    from .parallel.mesh import _pad_to
 
     ev, one = _free_freq_sweep_parts(modes, t0_method, maxiter)
-    n_sweep = mesh.shape["sweep"]
-    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
-    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
-    fixed = np.asarray(ev.omega(chif, Mf)) if ev is not None \
-        else np.zeros((0,), complex)
 
     @partial(
         shard_map, mesh=mesh,
@@ -320,9 +309,30 @@ def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
         return jax.vmap(one, in_axes=(None, None, None, 0, 0, None))(
             times_, data_, fixed_, t0_loc, T_loc, x0_)
 
-    x, mm, ok = jax.jit(run)(np.asarray(times, float),
-                             np.asarray(data, complex),
-                             fixed, t0s_p, Ts_p, np.asarray(x0, float))
+    return ev, jax.jit(run)
+
+
+def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
+                             times, data, Mf, chif, t0s, Ts, x0):
+    """Mesh-sharded free-frequency sweep: start times DP over 'sweep'.
+
+    Pure data parallelism (SURVEY section 2.6's only parallel axis for
+    this workload): every device runs the IDENTICAL per-window
+    seed-grid + damped-Newton optimiser on its t0 block; the only
+    communication is the result all-gather.  x64/complex work, so this
+    targets CPU meshes (and future TPU generations with native f64) --
+    the split-complex TPU sweeps are the batched.* surfaces."""
+    from .parallel.mesh import _pad_to
+
+    ev, fn = _free_freq_sweep_sharded_fn(modes, t0_method, maxiter, mesh)
+    n_sweep = mesh.shape["sweep"]
+    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
+    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
+    fixed = np.asarray(ev.omega(chif, Mf)) if ev is not None \
+        else np.zeros((0,), complex)
+
+    x, mm, ok = fn(np.asarray(times, float), np.asarray(data, complex),
+                   fixed, t0s_p, Ts_p, np.asarray(x0, float))
     return x[:B], mm[:B], ok[:B]
 
 
@@ -486,19 +496,14 @@ def _epsilon_sweep_fn(modes, sph, t0_method, maxiter):
     return jax.jit(run)
 
 
-def _epsilon_sweep_sharded(modes, sph, t0_method, maxiter, mesh,
-                           times, rows, t0s, Ts, df, x0):
-    """Mesh-sharded epsilon sweep: start times DP over 'sweep' (the
-    same layout as _free_freq_sweep_sharded; x64 work, CPU meshes)."""
+@lru_cache(maxsize=64)
+def _epsilon_sweep_sharded_fn(modes, sph, t0_method, maxiter, mesh):
+    """Cached jitted shard_map runner (see _free_freq_sweep_sharded_fn)."""
     from functools import partial
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
-    from .parallel.mesh import _pad_to
 
     one = _epsilon_sweep_parts(modes, sph, t0_method, maxiter)
-    n_sweep = mesh.shape["sweep"]
-    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
-    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
 
     @partial(
         shard_map, mesh=mesh,
@@ -509,9 +514,22 @@ def _epsilon_sweep_sharded(modes, sph, t0_method, maxiter, mesh,
         return jax.vmap(one, in_axes=(None, None, 0, 0, None, None))(
             times_, data_, t0_loc, T_loc, df_, x0_)
 
-    x, mm, ok = jax.jit(run)(np.asarray(times, float),
-                             np.asarray(rows, complex), t0s_p, Ts_p,
-                             np.asarray(df), np.asarray(x0, float))
+    return jax.jit(run)
+
+
+def _epsilon_sweep_sharded(modes, sph, t0_method, maxiter, mesh,
+                           times, rows, t0s, Ts, df, x0):
+    """Mesh-sharded epsilon sweep: start times DP over 'sweep' (the
+    same layout as _free_freq_sweep_sharded; x64 work, CPU meshes)."""
+    from .parallel.mesh import _pad_to
+
+    fn = _epsilon_sweep_sharded_fn(modes, sph, t0_method, maxiter, mesh)
+    n_sweep = mesh.shape["sweep"]
+    t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
+    Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
+
+    x, mm, ok = fn(np.asarray(times, float), np.asarray(rows, complex),
+                   t0s_p, Ts_p, np.asarray(df), np.asarray(x0, float))
     return x[:B], mm[:B], ok[:B]
 
 

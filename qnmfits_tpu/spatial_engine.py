@@ -415,17 +415,20 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
     times = np.asarray(times, float)
     rows = np.stack([np.asarray(data_dict[lm]) for lm in spherical_modes])
 
-    from .batched import (_dedup_rephase, _window_dedup,
+    from .batched import (_dedup_scatter, _window_dedup,
                           _window_dedup_closest)
     dd = None
-    if dedup and (t0_method == "geq"
-                  or (engine == "batched" and precision == "x64")):
+    # Same gate as batch_mismatch_t0: the batched engine's f32 path
+    # windows in f32 ON DEVICE, so host-f64 dedup keys can disagree at
+    # a window boundary; the fast/sharded kernels window in (split-)
+    # f64 and match the keys exactly.
+    f32_windows = engine == "batched" and precision != "x64"
+    if dedup and not f32_windows:
         dd = (_window_dedup(times, t0s, Ts) if t0_method == "geq"
               else _window_dedup_closest(times, t0s, Ts))
     if dd is not None:
-        rep, inverse = dd
         t0s_full = t0s
-        t0s, Ts = t0s[rep], Ts[rep]
+        t0s, Ts = t0s[dd[0]], Ts[dd[0]]
 
     if engine in ("fast", "sharded"):
         if t0_method != "geq":
@@ -448,14 +451,12 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
                 *args, mesh=mesh, chunk=chunk, analytic=analytic)
         else:
             Cre, Cim, mm = _t0_sweep_fast_fn(chunk, analytic)(*args)
-        mm = np.asarray(mm)
         if dd is not None:
-            mm = mm[inverse]
-            if return_amplitudes:
-                delta_b = t0s_full - t0s_full[rep][inverse]
-                Cre, Cim = _dedup_rephase(np.asarray(Cre)[inverse],
-                                          np.asarray(Cim)[inverse],
-                                          omega, delta_b)
+            mm, Cre, Cim = _dedup_scatter(
+                dd, t0s_full, mm,
+                Cre if return_amplitudes else None,
+                Cim if return_amplitudes else None, omega)
+        mm = np.asarray(mm)
         if return_amplitudes:
             return mm, np.asarray(Cre) + 1j * np.asarray(Cim)
         return mm
@@ -468,12 +469,13 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
     dev = _device_for(precision)
     C, mm = fn(*[jax.device_put(np.asarray(a), dev)
                  for a in (times, rows, omega, mu, t0s, Ts)])
-    mm = np.asarray(mm)
     if dd is not None:
-        mm = mm[inverse]
+        C = np.asarray(C)
+        mm, Cre, Cim = _dedup_scatter(
+            dd, t0s_full, mm,
+            C.real if return_amplitudes else None,
+            C.imag if return_amplitudes else None, omega)
         if return_amplitudes:
-            C = np.asarray(C)[inverse]
-            delta_b = t0s_full - t0s_full[rep][inverse]
-            Cre, Cim = _dedup_rephase(C.real, C.imag, omega, delta_b)
             C = Cre + 1j * Cim
+    mm = np.asarray(mm)
     return (mm, np.asarray(C)) if return_amplitudes else mm

@@ -94,14 +94,16 @@ def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
         from .ref_impl import get_qnm
 
         K = np.asarray(times).shape[0]
-        Mf_t = np.asarray(Mf)[mask] if np.ndim(Mf) \
-            else np.full(len(tm), float(Mf))
-        chif_t = np.asarray(chif)[mask] if np.ndim(chif) \
-            else np.full(len(tm), float(chif))
+        # Validate BEFORE masking: boolean-indexing a wrong-length
+        # track would raise a cryptic IndexError first.
         if np.ndim(Mf) and np.asarray(Mf).shape[0] != K:
             raise ValueError("Mf track length != times length")
         if np.ndim(chif) and np.asarray(chif).shape[0] != K:
             raise ValueError("chif track length != times length")
+        Mf_t = np.asarray(Mf)[mask] if np.ndim(Mf) \
+            else np.full(len(tm), float(Mf))
+        chif_t = np.asarray(chif)[mask] if np.ndim(chif) \
+            else np.full(len(tm), float(chif))
         q = get_qnm()
         canon = list(_canon(modes))
         omega = np.array(q.omega_list(canon, chif_t, Mf_t)).T  # (Km, J)

@@ -108,3 +108,44 @@ class TestShimDropsStalledFactory:
                            env=env, cwd=REPO)
         assert r.returncode == 0, r.stdout + r.stderr
         assert "NOOP-OK" in r.stdout
+
+
+class TestDeviceForHonorsDefaultPin:
+    def test_f32_follows_configured_default_device(self):
+        """`_device_for(non-x64)` must return the CONFIGURED default
+        device when one is pinned (the conftest pins cpu).  The axon
+        TPU plugin ignores JAX_PLATFORMS, so `jax.devices()[0]` can be
+        a tunneled accelerator even in a cpu-pinned suite -- an
+        explicit placement there hangs forever when the tunnel stalls
+        (observed: device_put blocked 20+ min in the mapping f32 test).
+        """
+        import jax
+
+        from qnmfits_tpu.engine import _device_for
+
+        dev = _device_for("f32")
+        assert dev.platform == "cpu", dev
+        assert dev == jax.devices("cpu")[0]
+
+    def test_unpinned_prefers_accelerator_order(self):
+        """Without a default-device pin the accelerator (devices()[0])
+        is chosen -- the production path.  Simulated by clearing the
+        pin inside a subprocess so the suite's own pin is untouched."""
+        script = (
+            "import os, sys\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "from qnmfits_tpu.engine import _device_for\n"
+            "assert jax.config.jax_default_device is None\n"
+            "d = _device_for('f32')\n"
+            "assert d == jax.devices()[0], (d, jax.devices())\n"
+            "print('UNPINNED-OK')\n")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=240,
+                           env=env, cwd=REPO)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "UNPINNED-OK" in r.stdout

@@ -525,6 +525,28 @@ def test_sharded_free_frequency_sweep_fixed_modes(cpu_devices):
     np.testing.assert_allclose(w_m, w_1, rtol=0, atol=1e-12)
 
 
+def test_sharded_optimizer_runner_is_cached(cpu_devices):
+    """The jitted shard_map runner must be REUSED across calls with the
+    same (modes, method, maxiter, mesh): jit caches by function
+    identity, so rebuilding the closure per call would recompile the
+    most expensive program in the module on every invocation."""
+    from qnmfits_tpu.optimize import (_free_freq_sweep_sharded_fn,
+                                      free_frequency_fit_array)
+    from qnmfits_tpu.parallel.mesh import sweep_mesh
+    from qnmfits_tpu.testing import synthetic_single
+
+    syn = synthetic_single(modes=[(2, 2, 0, 1)], noise=0.0, seed=7)
+    mesh = sweep_mesh(n_sweep=8, n_time=1, devices=cpu_devices)
+    before = _free_freq_sweep_sharded_fn.cache_info()
+    kw = dict(mesh=mesh, maxiter=5)
+    free_frequency_fit_array(syn["times"], syn["data"],
+                             np.linspace(0.0, 8.0, 9), **kw)
+    free_frequency_fit_array(syn["times"], syn["data"],
+                             np.linspace(1.0, 9.0, 9), **kw)
+    after = _free_freq_sweep_sharded_fn.cache_info()
+    assert after.hits >= before.hits + 1       # second call reused it
+
+
 def test_sharded_free_frequency_dedup_matches_direct(cpu_devices):
     """Window dedup (PERF.md section 25) composed with the mesh on the
     optimiser sweep: a t0 grid finer than the sampling shrinks to the

@@ -253,6 +253,26 @@ class TestMappingSweep:
             return_amplitudes=True, **kw)
         np.testing.assert_allclose(C0[0, -2:], s["amp_quad"], atol=1e-2)
 
+    def test_f32_batched_never_dedups(self, mapping_sweep_setup,
+                                      monkeypatch):
+        """batched+f32 windows in f32 ON DEVICE, so host-f64 dedup keys
+        can disagree at a window boundary -- the gate must skip dedup
+        (the same rule as batch_mismatch_t0, batched.py)."""
+        from qnmfits_tpu import batched
+
+        def boom(*a, **k):                     # pragma: no cover
+            raise AssertionError("dedup keys computed on the f32 path")
+
+        monkeypatch.setattr(batched, "_window_dedup", boom)
+        monkeypatch.setattr(batched, "_window_dedup_closest", boom)
+        s = mapping_sweep_setup
+        t0s = np.linspace(0.0, 2.0, 41)        # finer than dt: would dedup
+        mm = spatial.mapping_mismatch_t0_array(
+            s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+            t0s, [s["quad_mode"]], engine="batched", precision="f32",
+            T_array=60, spherical_modes=s["spherical_modes"])
+        assert np.all(np.isfinite(mm))
+
     def test_fast_matches_loop(self, mapping_sweep_setup):
         s = mapping_sweep_setup
         kw = dict(T_array=60, spherical_modes=s["spherical_modes"])

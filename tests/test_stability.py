@@ -68,13 +68,21 @@ def test_absent_mode_is_unstable(syn):
 def test_dedup_matches_direct(syn):
     """The dedup path (t0 grid finer than the sampling) returns the
     same rephased amplitudes as per-t0 solving."""
-    t0s = np.linspace(0.0, 10.0, 64)        # dt=0.15625 over 0.1 samples
+    from qnmfits_tpu import batched
+
+    t0s = np.linspace(0.0, 10.0, 201)       # step 0.05 over 0.1 samples
+    assert batched._window_dedup(
+        np.asarray(syn["times"], float), t0s,
+        np.full_like(t0s, 80.0)) is not None   # dedup genuinely active
     kw = dict(t_ref=0.0, T_array=80.0)
     a = amplitude_stability(syn["times"], syn["data"], syn["modes"],
                             syn["Mf"], syn["chif"], t0s, dedup=True, **kw)
     b = amplitude_stability(syn["times"], syn["data"], syn["modes"],
                             syn["Mf"], syn["chif"], t0s, dedup=False, **kw)
-    np.testing.assert_allclose(a["A"], b["A"], rtol=0, atol=1e-12)
+    # The rephase to t_ref multiplies rounding noise by e^{|Im w| dt0}
+    # (~16x for the n=2 overtone at dt0=10), so the two solve paths
+    # agree to ~1e-11 here rather than the raw-amplitude 1e-13.
+    np.testing.assert_allclose(a["A"], b["A"], rtol=0, atol=1e-9)
     np.testing.assert_allclose(a["mm"], b["mm"], rtol=0, atol=1e-14)
 
 
