@@ -231,8 +231,8 @@ def batch_mismatch_t0(times, data, modes, Mf, chif, t0_array,
     mm = np.asarray(mm)
     if dd is not None:
         if return_amplitudes:
-            ev = SpectrumEvaluator(list(_canon(modes)),
-                                   list(sph) if sph else None)
+            from .engine import cached_evaluator
+            ev = cached_evaluator(_canon(modes), sph)
             with _on_host():
                 omega = np.asarray(ev.omega(float(chif), float(Mf), df))
             C = np.asarray(C)
@@ -476,7 +476,20 @@ def _window_dedup(times, t0s, Ts):
                                    return_inverse=True)
     if len(uniq) == len(t0v):
         return None
-    return rep, inverse
+    return _ascending_reps(t0v, rep, inverse)
+
+
+def _ascending_reps(t0v, rep, inverse):
+    """np.unique orders the window groups by KEY; with a per-t0
+    T_array two groups can share a start index but differ in end, so
+    t0v[rep] need not come out ascending.  The factored kernels anchor
+    chunks at t0s[0] and size them by the t0 span (and the fast sweeps
+    REQUIRE ascending t0s), so reorder the groups by representative
+    start time -- group membership is unchanged, hence exact."""
+    order = np.argsort(t0v[rep], kind="stable")
+    ranks = np.empty(len(order), dtype=inverse.dtype)
+    ranks[order] = np.arange(len(order), dtype=inverse.dtype)
+    return rep[order], ranks[inverse]
 
 
 def _window_dedup_closest(times, t0s, Ts):
@@ -497,7 +510,7 @@ def _window_dedup_closest(times, t0s, Ts):
                                    return_inverse=True)
     if len(uniq) == len(t0v):
         return None
-    return rep, inverse
+    return _ascending_reps(t0v, rep, inverse)
 
 
 def _dedup_rephase(Cre, Cim, omegas, delta):

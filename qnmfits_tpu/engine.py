@@ -21,6 +21,8 @@ TPU-speed sweeps and 'x64' for reference-grade numbers.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax
@@ -58,6 +60,25 @@ def check_spin(chif) -> None:
         return
     from .spectrum.tables import default_tables
     _raise_if_bad_spin(float(chif), float(default_tables().chi[-1]))
+
+
+def cached_evaluator(modes, sph=None):
+    """Shared SpectrumEvaluator keyed by canonical (modes, sph) tuples.
+
+    Per-call sweep epilogues (dedup rephase, stability) need an
+    evaluator only for one host-side omega evaluation; rebuilding it
+    re-packs the spline coefficient tables every call.  Instances are
+    stateless after construction (the lru_cached jit factories already
+    share them across calls), so reuse is safe."""
+    return _cached_evaluator(tuple(tuple(int(x) for x in m) for m in modes),
+                             None if sph is None
+                             else tuple(tuple(int(x) for x in m)
+                                        for m in sph))
+
+
+@lru_cache(maxsize=256)
+def _cached_evaluator(modes, sph):
+    return SpectrumEvaluator(list(modes), list(sph) if sph else None)
 
 
 class SpectrumEvaluator:

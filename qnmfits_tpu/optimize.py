@@ -322,14 +322,18 @@ def _free_freq_sweep_sharded(modes, t0_method, maxiter, mesh,
     communication is the result all-gather.  x64/complex work, so this
     targets CPU meshes (and future TPU generations with native f64) --
     the split-complex TPU sweeps are the batched.* surfaces."""
+    from .batched import _on_host
     from .parallel.mesh import _pad_to
 
     ev, fn = _free_freq_sweep_sharded_fn(modes, t0_method, maxiter, mesh)
     n_sweep = mesh.shape["sweep"]
     t0s_p, B = _pad_to(np.asarray(t0s, float), n_sweep)
     Ts_p, _ = _pad_to(np.asarray(Ts, float), n_sweep)
-    fixed = np.asarray(ev.omega(chif, Mf)) if ev is not None \
-        else np.zeros((0,), complex)
+    if ev is not None:
+        with _on_host():    # eager complex splines never on the TPU
+            fixed = np.asarray(ev.omega(chif, Mf))
+    else:
+        fixed = np.zeros((0,), complex)
 
     x, mm, ok = fn(np.asarray(times, float), np.asarray(data, complex),
                    fixed, t0s_p, Ts_p, np.asarray(x0, float))

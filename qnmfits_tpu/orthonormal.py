@@ -57,7 +57,7 @@ def orthonormal_decomposition(times, data, modes, Mf, chif, t0,
     """
     from scipy.linalg import solve_triangular
 
-    from .batched import _canon, _prep
+    from .batched import _canon, _on_host, _prep
     from .engine import SpectrumEvaluator, _window, check_spin
     from .ops.windows import trapz_weights
 
@@ -65,9 +65,10 @@ def orthonormal_decomposition(times, data, modes, Mf, chif, t0,
     check_spin(chif)
     ev = SpectrumEvaluator(list(_canon(modes)),
                            list(sph) if sph else None)
-    omega = np.asarray(ev.omega(chif, Mf))
-    mu = np.ones((1, omega.shape[0]), complex) if sph is None \
-        else np.asarray(ev.mu(chif))
+    with _on_host():        # eager complex splines never on the TPU
+        omega = np.asarray(ev.omega(chif, Mf))
+        mu = np.ones((1, omega.shape[0]), complex) if sph is None \
+            else np.asarray(ev.mu(chif))
     J = omega.shape[0]
     if rows.shape[0] != mu.shape[0]:
         raise ValueError(

@@ -73,7 +73,7 @@ def amplitude_stability(times, data, modes, Mf, chif, t0_array,
             "spectrum: a time-dependent w_j(t) admits no exact "
             "amplitude rephasing between start times")
     from .batched import _canon, batch_mismatch_t0, _on_host
-    from .engine import SpectrumEvaluator, check_spin
+    from .engine import check_spin
     from .ref_impl import _delta_factor
 
     check_spin(chif)
@@ -90,7 +90,8 @@ def amplitude_stability(times, data, modes, Mf, chif, t0_array,
 
     sph = (None if spherical_modes is None
            else [tuple(m) for m in spherical_modes])
-    ev = SpectrumEvaluator(canon, sph)
+    from .engine import cached_evaluator
+    ev = cached_evaluator(canon, sph)
     df = np.asarray(_delta_factor(delta, len(canon)))
     with _on_host():
         omega = np.asarray(ev.omega(float(chif), float(Mf), df))

@@ -121,9 +121,11 @@ def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
     check_spin(chif)
     ev = SpectrumEvaluator(list(_canon(modes)),
                            list(sph) if sph else None)
-    omega = np.asarray(ev.omega(chif, Mf))
-    mu = np.ones((1, omega.shape[0]), complex) if sph is None \
-        else np.asarray(ev.mu(chif))
+    from .batched import _on_host
+    with _on_host():        # eager complex splines never on the TPU
+        omega = np.asarray(ev.omega(chif, Mf))
+        mu = np.ones((1, omega.shape[0]), complex) if sph is None \
+            else np.asarray(ev.mu(chif))
     J = omega.shape[0]
     if rows.shape[0] != mu.shape[0]:
         raise ValueError(

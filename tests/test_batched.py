@@ -1121,6 +1121,36 @@ class TestWindowDedup:
         t0c = np.arange(0.0, 10.0, 4 * dt)
         assert _window_dedup(times, t0c, np.full_like(t0c, 60.0)) is None
 
+    def test_varying_T_reps_stay_ascending(self, syn):
+        """Per-t0 T_array: np.unique orders the groups by (start, end)
+        window KEY, so a T that drops as t0 advances used to emit
+        t0-DESCENDING representatives -- feeding non-ascending t0s to
+        the chunk-anchored factored kernels (which REQUIRE ascending).
+        _ascending_reps reorders the groups; membership is unchanged."""
+        from qnmfits_tpu.batched import (_window_dedup,
+                                         batch_mismatch_t0_fast)
+        times = np.asarray(syn["times"], float)
+        t0s = np.linspace(0.0, 10.0, 201)     # 0.05 over 0.1 sampling
+        Ts = np.where(t0s < 5.0, 80.0, 40.0)  # T drops mid-sweep
+        dd = _window_dedup(times, t0s, Ts)
+        assert dd is not None
+        rep, inverse = dd
+        assert np.all(np.diff(t0s[rep]) > 0)          # sweep order
+        a = np.searchsorted(times, t0s, side="left")  # same keys as
+        e = np.searchsorted(times, t0s + Ts, side="left")   # the impl
+        keys = a * (len(times) + 1) + e
+        assert np.all(keys[rep][inverse] == keys)     # exact groups
+        # Public fast sweep (the strict-ascending kernel) stays exact.
+        kw = dict(T_array=Ts, return_amplitudes=True)
+        mm_d, C_d = batch_mismatch_t0_fast(
+            times, syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, dedup=True, **kw)
+        mm_0, C_0 = batch_mismatch_t0_fast(
+            times, syn["data"], syn["modes"], syn["Mf"], syn["chif"],
+            t0s, dedup=False, **kw)
+        np.testing.assert_allclose(mm_d, mm_0, rtol=0, atol=1e-13)
+        np.testing.assert_allclose(C_d, C_0, rtol=0, atol=1e-11)
+
     def test_modesets_dense_grid_matches_direct_and_oracle(self, syn_mm):
         mode_sets = [[(2, 2, 0, 1), (2, 2, 1, 1)], [(2, 2, 0, 1)],
                      [(2, 2, 0, 1), (2, 2, 1, 1), (3, 2, 0, 1)]]
