@@ -495,17 +495,34 @@ def _ascending_reps(t0v, rep, inverse):
 def _window_dedup_closest(times, t0s, Ts):
     """_window_dedup for t0_method='closest' windows [k0, k1) with
     k0/k1 the argmin-closest sample indices (ops.windows.window_closest;
-    reference qnmfits.py:240-243, first index wins ties)."""
-    t = np.asarray(times, float)
+    reference qnmfits.py:240-243, first index wins ties).
 
-    def closest(v):
-        k = np.clip(np.searchsorted(t, v), 1, len(t) - 1)
-        left_closer = (v - t[k - 1]) <= (t[k] - v)     # tie -> earlier
-        return np.where(left_closer, k - 1, k)
+    The keys reproduce the kernel's argmin BIT-EXACTLY: the kernel
+    scores sample j by fl((fl(t_j - t0) - T)^2), which is NOT the
+    distance to fl(t0 + T) -- the two roundings can disagree at a
+    midpoint between samples, and a key that groups two windows the
+    kernel windows differently would scatter a wrong mismatch.  So
+    evaluate the kernel's own expression on a 5-sample bracket around
+    searchsorted(t, t0 + T): fl(t_j - t0) is weakly monotone in j and
+    subtracting T preserves that, so fl(d^2) is weakly unimodal and its
+    FIRST global argmin lies in any bracket containing the sign change;
+    +-2 covers the <=1-ulp skew between fl(t0+T) and the kernel's
+    association (knife-edge ulp ties on the grid itself remain the
+    documented dedup boundary, same as 'geq')."""
+    t = np.asarray(times, float)
+    n = len(t)
+    off = np.arange(-2, 3)
+
+    def kernel_argmin(t0v, Tv):
+        # window_closest scores fl((fl(t_j - t0) - T)^2), first-min tie.
+        j = np.clip(np.searchsorted(t, t0v + Tv)[:, None] + off, 0, n - 1)
+        d = (t[j] - t0v[:, None]) - Tv[:, None]
+        return j[np.arange(len(t0v)), np.argmin(d * d, axis=1)]
 
     t0v = np.asarray(t0s, float)
-    keys = closest(t0v) * (len(t) + 1) \
-        + closest(t0v + np.asarray(Ts, float))
+    Tv = np.broadcast_to(np.asarray(Ts, float), t0v.shape)
+    keys = kernel_argmin(t0v, np.zeros_like(t0v)) * (len(t) + 1) \
+        + kernel_argmin(t0v, Tv)
     uniq, rep, inverse = np.unique(keys, return_index=True,
                                    return_inverse=True)
     if len(uniq) == len(t0v):

@@ -75,9 +75,10 @@ def orthonormal_decomposition(times, data, modes, Mf, chif, t0,
             f"data has {rows.shape[0]} spherical-mode rows but the "
             f"mixing matrix expects {mu.shape[0]}")
 
-    w = np.asarray(_window(np.asarray(times), float(t0), float(T),
-                           t0_method))
-    tau = np.asarray(trapz_weights(times, w))
+    with _on_host():        # eager f64 window/trapz ops never on the TPU
+        w = np.asarray(_window(np.asarray(times), float(t0), float(T),
+                               t0_method))
+        tau = np.asarray(trapz_weights(times, w))
 
     # Window-clamped phases (w binary: products with w/tau unchanged,
     # no backward-in-time overflow) -- the engine.fit_core convention.

@@ -415,6 +415,17 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
     times = np.asarray(times, float)
     rows = np.stack([np.asarray(data_dict[lm]) for lm in spherical_modes])
 
+    # Validate the USER's inputs before dedup compresses them (the
+    # dedup representatives are always ascending, which would let an
+    # unsorted t0_array slip past the fast-engine contract whenever the
+    # grid happens to dedup).
+    if engine in ("fast", "sharded"):
+        if t0_method != "geq":
+            raise ValueError(
+                f"engine='{engine}' supports t0_method='geq' only")
+        if np.any(np.diff(t0s) < 0):
+            raise ValueError("t0_array must be sorted ascending")
+
     from .batched import (_dedup_scatter, _window_dedup,
                           _window_dedup_closest)
     dd = None
@@ -431,11 +442,6 @@ def mapping_mismatch_t0_array(times, data_dict, modes, Mf, chif, t0_array,
         t0s, Ts = t0s[dd[0]], Ts[dd[0]]
 
     if engine in ("fast", "sharded"):
-        if t0_method != "geq":
-            raise ValueError(
-                f"engine='{engine}' supports t0_method='geq' only")
-        if np.any(np.diff(t0s) < 0):
-            raise ValueError("t0_array must be sorted ascending")
         from .batched import _safe_chunk, _t0_sweep_fast_fn, \
             _uniform_spacing
         chunk = _safe_chunk(t0s, float(np.max(np.abs(omega.imag))), chunk)

@@ -109,9 +109,15 @@ def amplitude_stability(times, data, modes, Mf, chif, t0_array,
                            np.inf)
         scatter = np.where(np.abs(mean_A) > 0, wander / np.abs(mean_A),
                            np.inf)
-        unit = np.where(absA > 0, A / np.where(absA > 0, absA, 1.0),
-                        0.0 + 0.0j)
-        resultant = np.abs(unit.mean(axis=0))
+        # Zero-amplitude rows carry no phase: average the unit phasors
+        # over the nonzero rows only (a 0 phasor in the mean would
+        # shrink the resultant and inflate phase_std spuriously).
+        nz = absA > 0
+        unit = np.where(nz, A / np.where(nz, absA, 1.0), 0.0 + 0.0j)
+        n_nz = nz.sum(axis=0)
+        resultant = np.where(
+            n_nz > 0,
+            np.abs(unit.sum(axis=0)) / np.maximum(n_nz, 1), 0.0)
         phase_std = np.where(resultant > 0,
                              np.sqrt(-2.0 * np.log(
                                  np.minimum(resultant, 1.0))),

@@ -57,14 +57,15 @@ def _masked_design(times, data, modes, Mf, chif, t0, t0_method, T,
       (reference spatial_mapping_functions.py:212-248) -- `omega` is
       (J,) over the expanded column list.
     """
-    from .batched import _canon, _prep
+    from .batched import _canon, _on_host, _prep
     from .engine import SpectrumEvaluator, _window, check_spin
 
     times, rows, sph = _prep(times, data, spherical_modes)
     dynamic = np.ndim(Mf) > 0 or np.ndim(chif) > 0
 
-    mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
-                              t0_method)).astype(bool)
+    with _on_host():        # eager f64 window op never on the TPU
+        mask = np.asarray(_window(np.asarray(times), float(t0), float(T),
+                                  t0_method)).astype(bool)
     if not np.any(mask):
         raise ValueError("empty fit window (check t0/T)")
     tm = np.asarray(times)[mask]

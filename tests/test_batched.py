@@ -1121,6 +1121,80 @@ class TestWindowDedup:
         t0c = np.arange(0.0, 10.0, 4 * dt)
         assert _window_dedup(times, t0c, np.full_like(t0c, 60.0)) is None
 
+    def test_closest_keys_match_kernel_argmin_bitexact(self, syn):
+        """The 'closest' dedup keys must reproduce the KERNEL's window
+        indices bit-exactly: ops.windows.window_closest scores sample j
+        by fl((fl(t_j - t0) - T)^2), which near a midpoint between
+        samples can disagree with the distance to fl(t0 + T).  A key
+        built from the latter could GROUP two windows the kernel
+        windows differently -- scattering a wrong mismatch.  Sweep
+        adversarial t0s (exact midpoints and +-ulp neighbours) and
+        check the grouping equals brute-force argmin grouping (numpy
+        f64 is the same IEEE arithmetic as the x64 jnp kernel)."""
+        from qnmfits_tpu.batched import _window_dedup_closest
+        times = np.asarray(syn["times"], float)
+        dt = times[1] - times[0]
+        rng = np.random.default_rng(7)
+        mids = 0.5 * (times[40:200:3] + times[41:201:3])
+        t0s = np.concatenate([
+            mids,
+            np.nextafter(mids, np.inf),
+            np.nextafter(mids, -np.inf),
+            times[40] + dt * rng.uniform(0.49, 0.51, 100),
+        ])
+        t0s.sort()
+        # T landing t0+T near midpoints too (60.05 = 600.5 samples).
+        for T in (60.0 + 0.5 * dt, 60.0):
+            Ts = np.full_like(t0s, T)
+            # Brute-force kernel indices: same expression, all samples.
+            d0 = times[None, :] - t0s[:, None]
+            k0 = np.argmin(d0 * d0, axis=1)
+            d1 = (times[None, :] - t0s[:, None]) - Ts[:, None]
+            k1 = np.argmin(d1 * d1, axis=1)
+            keys = k0 * (len(times) + 1) + k1
+            dd = _window_dedup_closest(times, t0s, Ts)
+            assert dd is not None       # midpoint duplicates exist
+            rep, inverse = dd
+            # Exact grouping: every member shares its rep's kernel key,
+            # and distinct groups have distinct keys.
+            assert np.all(keys[rep][inverse] == keys)
+            assert len(np.unique(keys[rep])) == len(rep)
+
+    def test_closest_keys_at_ulp_equidistance(self):
+        """Constructed knife-edges: t0 + T within a few ulps of the
+        exact midpoint of two samples.  There the distance-to-fl(t0+T)
+        key DISAGREES with the kernel's fl((fl(t-t0)-T)^2) argmin in
+        ~40% of draws (measured), which is exactly the regime the old
+        key got wrong.  The bracket key must match the kernel on every
+        such case."""
+        from qnmfits_tpu.batched import _window_dedup_closest
+        rng = np.random.default_rng(1)
+        cases = []
+        while len(cases) < 25:
+            dt = 10 ** rng.uniform(-3, 0)
+            ta = rng.uniform(0.0, 200.0)
+            tb = ta + dt
+            T = rng.uniform(10.0, 100.0)
+            t0c = (ta + 0.5 * dt) - T
+            for j in range(-4, 5):
+                t0 = t0c
+                for _ in range(abs(j)):
+                    t0 = np.nextafter(t0, np.inf if j > 0 else -np.inf)
+                cases.append((t0, T, ta, tb))
+        for t0, T, ta, tb in cases:
+            times = np.unique(np.concatenate([
+                np.linspace(t0 - 5.0, ta - 1e-3, 300), [ta, tb],
+                np.linspace(tb + 1e-3, tb + 5.0, 50)]))
+            t0s = np.array([t0, t0])    # duplicate -> dd is not None
+            Ts = np.full(2, T)
+            d0 = times[None, :] - t0s[:, None]
+            k0 = np.argmin(d0 * d0, axis=1)
+            d1 = (times[None, :] - t0s[:, None]) - Ts[:, None]
+            k1 = np.argmin(d1 * d1, axis=1)
+            keys = k0 * (len(times) + 1) + k1
+            rep, inverse = _window_dedup_closest(times, t0s, Ts)
+            assert np.all(keys[rep][inverse] == keys), (t0, T, ta, tb)
+
     def test_varying_T_reps_stay_ascending(self, syn):
         """Per-t0 T_array: np.unique orders the groups by (start, end)
         window KEY, so a T that drops as t0 advances used to emit

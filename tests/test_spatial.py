@@ -302,6 +302,20 @@ class TestMappingSweep:
             chunk=2, **kw)
         np.testing.assert_allclose(mm_sh, mm_bat, rtol=0, atol=1e-11)
 
+    def test_fast_unsorted_t0_raises_even_when_dedupable(
+            self, mapping_sweep_setup):
+        """Input validation must run on the USER's t0_array, before
+        dedup: dedup representatives are always ascending, so an
+        unsorted grid that happens to dedup-compress (duplicates here)
+        used to slip past the fast-engine sorted-ascending contract."""
+        s = mapping_sweep_setup
+        t0_bad = np.array([5.0, 5.0, 0.0, 0.0])   # dedupable, unsorted
+        with pytest.raises(ValueError, match="sorted ascending"):
+            spatial.mapping_mismatch_t0_array(
+                s["times"], s["data"], s["modes"], s["Mf"], s["chif"],
+                t0_bad, [s["quad_mode"]], engine="fast", T_array=60,
+                spherical_modes=s["spherical_modes"])
+
 
 class TestSpatialMismatchRoundTrip:
     """Self-consistency: fitting data built FROM a mixing prediction and
